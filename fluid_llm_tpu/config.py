@@ -1,0 +1,230 @@
+"""Typed, validated configuration with the same YAML surface as the reference.
+
+The reference threads a flat YAML dict everywhere with no schema
+(``src/utils.py:109-121``, ``configs/training1.yaml``).  Here the same keys are
+parsed into a dataclass tree so typos fail loudly, while ``Config.from_yaml``
+accepts reference config files unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+import yaml
+
+
+def _sub(cls, raw: Optional[dict], name: str):
+    if raw is None:
+        return cls()
+    known = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(raw) - known
+    if unknown:
+        raise ValueError(f"Unknown keys in {name}: {sorted(unknown)}")
+    return cls(**raw)
+
+
+@dataclass
+class LoraConfig:
+    """LoRA/DoRA adapter settings (``configs/training1.yaml:9-14``)."""
+
+    r: int = 16
+    lora_alpha: float = 64
+    lora_dropout: float = 0.1
+    bias: str = "none"
+    use_dora: bool = True
+    # Which linear layers inside attention blocks get adapters.  The reference
+    # relies on peft's per-model defaults (q/v projections for OPT).
+    target_modules: Sequence[str] = ("q_proj", "v_proj")
+
+
+@dataclass
+class PosEmbeddingConfig:
+    """``configs/training1.yaml:40-44``."""
+
+    in_emb_ln_eps: Optional[float] = None
+    input_emb_layer_dropout: Optional[float] = 0.1
+    pos_embedding_type: str = "pos"  # "pos" | "rope"
+    init_pos_embed: str = "normal"  # "normal" | "zero" | "scaled"
+
+    def __post_init__(self):
+        if self.pos_embedding_type not in ("pos", "rope"):
+            raise ValueError(f"pos_embedding_type: {self.pos_embedding_type}")
+        if self.init_pos_embed not in ("normal", "zero", "scaled"):
+            raise ValueError(f"init_pos_embed: {self.init_pos_embed}")
+
+
+@dataclass
+class EncoderConfig:
+    """Patch-encoder settings (``configs/training1.yaml:47-51``)."""
+
+    type: str = "MLP"  # "MLP" | "CNN"
+    num_layers: int = 2
+    hidden_dim: int = 512
+    activation: str = "leakyrelu"
+
+
+@dataclass
+class DecoderConfig:
+    """Patch-decoder settings (``configs/training1.yaml:54-61``).
+
+    type "MLPGNN" is the reference default; "MLP" is the simple per-patch MLP.
+    The reference's "MLP0"/"GNN" variants are dead/broken
+    (``src/models/layers/GNN/decoders.py:52,102``) and intentionally omitted.
+    """
+
+    type: str = "MLPGNN"  # "MLP" | "MLPGNN"
+    gnn_dim: int = 32
+    gnn_hid_dim: int = 48
+    gnn_layers: int = 3
+    gnn_heads: int = 1
+    mlp_hid_dim: int = 512
+    dropout: float = 0.0
+    # Only used by type == "MLP":
+    num_layers: int = 2
+    hidden_dim: int = 512
+    activation: str = "leakyrelu"
+    zero_last_layer: bool = False
+
+
+@dataclass
+class TeacherForcingConfig:
+    """``configs/training1.yaml:64-67``; mode selection ``src/main.py:43-59``."""
+
+    tf_mode: str = "gen"  # "gen" | "notf"
+    tf_prob: float = 0.0
+    start_epoch: int = 10000
+
+
+@dataclass
+class ParallelConfig:
+    """TPU-native addition: device-mesh layout.  Not present in the reference
+    (which is pure DDP via HF Accelerate, ``run_training.sh:5``)."""
+
+    data_axis: int = -1  # -1: all devices on the data axis
+    model_axis: int = 1  # tensor-parallel size for the backbone
+    fsdp_axis: int = 1  # parameter/optimizer-state sharding size
+    remat: bool = False  # jax.checkpoint the backbone blocks
+
+
+@dataclass
+class Config:
+    task_name: str = "cylinder_task"
+
+    # LLM params (``configs/training1.yaml:3-19``)
+    llm_backbone: str = "facebook/opt-125m"
+    llm_layers: int = -1
+    llm_4bit_loading: bool = False
+    freeze_llm: bool = False
+    use_lora: bool = True
+    lora_config: LoraConfig = field(default_factory=LoraConfig)
+    half_precision: bool = True
+    flash_attention: bool = True
+    use_deepspeed: bool = False  # accepted for YAML parity; ZeRO == fsdp_axis
+    use_bos_token: bool = True
+    see_init_state: bool = True
+
+    # Training params (``configs/training1.yaml:21-30``)
+    batch_size: int = 8
+    num_epochs: int = 260
+    optimizer: str = "adamw"
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-5
+    loss_function: Sequence[str] = ("mae", "mse")
+    loss_weighting: Sequence[float] = (0.1, 10.0)
+    schedule_epoch: int = 50
+    schedule_gamma: float = 0.75
+
+    # Train modifications (``configs/training1.yaml:32-37``)
+    pressure_weight: float = 0.1
+    diff_scale_factor: float = 0.05
+    loss_norm_eps: Optional[float] = 0.05
+    channel_independent: bool = False
+    noise: Optional[float] = None
+
+    pos_embedding_params: PosEmbeddingConfig = field(default_factory=PosEmbeddingConfig)
+    encoder_params: EncoderConfig = field(default_factory=EncoderConfig)
+    decoder_params: DecoderConfig = field(default_factory=DecoderConfig)
+    teacher_forcing: TeacherForcingConfig = field(default_factory=TeacherForcingConfig)
+
+    # Dataloader params (``configs/training1.yaml:69-80``)
+    autoreg_seq_len: int = 10
+    val_seq_len: int = 26
+    num_workers: int = 6
+    load_dir: str = "synthetic"
+    patch_size: Sequence[int] = (16, 16)
+    stride: Sequence[int] = (16, 16)
+    resolution: int = 238
+    normalize_ds: bool = True
+    seq_interval: int = 1
+    seq_len: Optional[int] = None
+
+    # Logging params (``configs/training1.yaml:82-87``)
+    enable_wandb: bool = False
+    save_on: bool = True
+    save_model_each: int = 20
+    checkpoint_save_path: str = "model_checkpoints"
+    compile: bool = True  # accepted for parity; everything is jitted anyway
+
+    # TPU-native additions
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    seed: int = 1234  # reference seeds 1234 globally (``src/utils.py:23``)
+    profile_dir: Optional[str] = None  # jax.profiler trace output, if set
+
+    def __post_init__(self):
+        if isinstance(self.lora_config, dict):
+            self.lora_config = _sub(LoraConfig, self.lora_config, "lora_config")
+        if isinstance(self.pos_embedding_params, dict):
+            self.pos_embedding_params = _sub(
+                PosEmbeddingConfig, self.pos_embedding_params, "pos_embedding_params"
+            )
+        if isinstance(self.encoder_params, dict):
+            self.encoder_params = _sub(EncoderConfig, self.encoder_params, "encoder_params")
+        if isinstance(self.decoder_params, dict):
+            self.decoder_params = _sub(DecoderConfig, self.decoder_params, "decoder_params")
+        if isinstance(self.teacher_forcing, dict):
+            self.teacher_forcing = _sub(
+                TeacherForcingConfig, self.teacher_forcing, "teacher_forcing"
+            )
+        if isinstance(self.parallel, dict):
+            self.parallel = _sub(ParallelConfig, self.parallel, "parallel")
+        self.learning_rate = float(self.learning_rate)
+        self.weight_decay = float(self.weight_decay)
+        self.patch_size = tuple(int(p) for p in self.patch_size)
+        self.stride = tuple(int(s) for s in self.stride)
+        if self.patch_size != self.stride:
+            raise ValueError("Only non-overlapping patches are supported (patch_size == stride)")
+        if self.optimizer not in ("adamw", "adam", "sgd"):
+            raise ValueError(f"Unknown optimizer {self.optimizer}")
+        for fn in self.loss_function:
+            if fn not in ("mse", "rmse", "mae", "mape", "smape"):
+                raise ValueError(f"Unknown loss function {fn}")
+        if len(self.loss_function) != len(self.loss_weighting):
+            raise ValueError("loss_function and loss_weighting length mismatch")
+
+    # -- YAML interface -----------------------------------------------------
+
+    @classmethod
+    def from_dict(cls, raw: dict[str, Any]) -> "Config":
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(raw) - known - {"gen_seq_len"}  # vestigial reference key
+        if unknown:
+            raise ValueError(f"Unknown config keys: {sorted(unknown)}")
+        return cls(**{k: v for k, v in raw.items() if k in known})
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "Config":
+        with open(path) as f:
+            raw = yaml.safe_load(f)
+        return cls.from_dict(raw)
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_yaml(self, path: str) -> None:
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
