@@ -1,0 +1,95 @@
+"""Benchmark: autoregressive rollout throughput on the reference protocol.
+
+Protocol (``src/inference.py:85-87,151-154``): 1 context state, 251 predicted
+steps, batch size 1, bf16, the training-anchor geometry (OPT-125m backbone
+shape, resolution 238 -> 240x64 grid, 60 patches of 16x16, context window 10).
+The reference never instruments throughput (SURVEY.md §6); the recorded
+metric is rollout steps/sec/chip — the north-star from BASELINE.json.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+
+    from fluid_llm_tpu.config import Config
+    from fluid_llm_tpu.data.pipeline import make_batches
+    from fluid_llm_tpu.data.synthetic import SyntheticCylinderDataset
+    from fluid_llm_tpu.models.fluid_llm import FluidLLM
+    from fluid_llm_tpu.rollout.generate import generate
+
+    PRED_STEPS = 251  # ``src/inference.py:87``
+    SEQ_LEN = 10  # autoreg_seq_len -> max_ctx_len 10
+
+    cfg = Config(
+        llm_backbone="facebook/opt-125m",
+        half_precision=True,
+        use_lora=False,
+        freeze_llm=False,
+        batch_size=1,
+        autoreg_seq_len=SEQ_LEN,
+        seq_len=SEQ_LEN,
+        resolution=238,
+        flash_attention=True,
+    )
+    ds = SyntheticCylinderDataset(
+        n_trajectories=1, resolution=238, seq_len=SEQ_LEN, mode="test", max_steps=600
+    )
+    model = FluidLLM.build(cfg, ds.ds_props())
+    batch = next(make_batches(ds, 1, shuffle=False))
+    states, _, _, bc_mask, pos = batch
+
+    params = model.init(jax.random.PRNGKey(0))
+
+    roll = jax.jit(
+        lambda p, s, m, pid: generate(model, p, s, m, pid, PRED_STEPS)
+    )
+
+    def sync(x):
+        # value fetch, not block_until_ready: the axon platform's readiness
+        # signal can fire before execution completes
+        return float(x.mean())
+
+    # warmup/compile
+    t0 = time.time()
+    st, df = roll(params, states[:, :1], bc_mask, pos)
+    sync(st)
+    compile_s = time.time() - t0
+    print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
+
+    # timed runs
+    n_rep = 3
+    t0 = time.time()
+    for _ in range(n_rep):
+        st, df = roll(params, states[:, :1], bc_mask, pos)
+        sync(st)
+    dt = (time.time() - t0) / n_rep
+    steps_per_sec = PRED_STEPS / dt
+
+    baseline = None
+    if os.path.exists("BASELINE_MEASURED.json"):
+        try:
+            with open("BASELINE_MEASURED.json") as f:
+                baseline = json.load(f).get("rollout_steps_per_sec")
+        except Exception:
+            baseline = None
+    vs = steps_per_sec / baseline if baseline else 1.0
+
+    print(json.dumps({
+        "metric": "rollout_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,38 @@
+"""Datasets: factory mirroring ``get_data_loader`` (``src/utils_model.py:9-45``)."""
+
+from __future__ import annotations
+
+from fluid_llm_tpu.config import Config
+from fluid_llm_tpu.data.ds_props import DSProps
+from fluid_llm_tpu.data.pipeline import PatchDataset, make_batches
+
+
+def get_dataset(cfg: Config, mode: str = "train") -> PatchDataset:
+    name = cfg.load_dir
+    seq_len = cfg.seq_len if cfg.seq_len is not None else cfg.autoreg_seq_len
+    common = dict(
+        resolution=cfg.resolution,
+        patch_size=cfg.patch_size,
+        seq_len=seq_len,
+        seq_interval=cfg.seq_interval,
+        mode=mode,
+        normalize=cfg.normalize_ds,
+    )
+    if name in ("./ds/MGN/cylinder_dataset", "cylinder"):
+        from fluid_llm_tpu.data.cylinder import MGNDataset
+
+        load_dir = "./ds/MGN/cylinder_dataset" if name == "cylinder" else name
+        return MGNDataset(load_dir=f"{load_dir}/{mode}", **common)
+    if name in ("./ds/MGN/airfoil_dataset", "airfoil"):
+        from fluid_llm_tpu.data.airfoil import AirfoilDataset
+
+        load_dir = "./ds/MGN/airfoil_dataset" if name == "airfoil" else name
+        return AirfoilDataset(load_dir=f"{load_dir}/{mode}", **common)
+    if name.startswith("synthetic"):
+        from fluid_llm_tpu.data.synthetic import SyntheticCylinderDataset
+
+        return SyntheticCylinderDataset(**common)
+    raise ValueError(f"Invalid dataset {name}")
+
+
+__all__ = ["DSProps", "PatchDataset", "get_dataset", "make_batches"]

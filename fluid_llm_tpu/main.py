@@ -1,0 +1,105 @@
+"""Training entrypoint (equivalent of ``src/main.py:175-209``).
+
+Usage:
+    python -m fluid_llm_tpu.main --config_path configs/training1.yaml \
+        [--save_folder NAME]
+
+Differences from the reference, by design:
+- distribution comes from ``cfg.parallel`` (mesh axes) instead of
+  ``accelerate launch`` — a single process drives all local devices;
+- wandb is optional and off by default (no egress); metrics go to stdout
+  and an optional JSONL file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+import jax
+
+from fluid_llm_tpu.config import Config
+from fluid_llm_tpu.data import get_dataset
+from fluid_llm_tpu.models.fluid_llm import FluidLLM
+from fluid_llm_tpu.models.hf_import import bos_embedding, load_pretrained
+from fluid_llm_tpu.parallel.mesh import make_mesh, shard_params
+from fluid_llm_tpu.train import checkpoint as ckpt
+from fluid_llm_tpu.train.loop import train_run
+from fluid_llm_tpu.train.optim import partition
+from fluid_llm_tpu.train.trainer import Trainer, TrainState
+from fluid_llm_tpu.utils import count_params, set_seed
+
+logging.basicConfig(level=logging.INFO, format="[%(name)s:%(levelname)s] %(message)s")
+logger = logging.getLogger("fluid_llm_tpu.main")
+
+
+def build_model_and_state(cfg: Config, ds_props, rng) -> tuple[FluidLLM, Trainer, TrainState]:
+    model = FluidLLM.build(cfg, ds_props)
+    trainer = Trainer(model)
+    params = model.init(rng)
+
+    # pretrained import when the HF cache has the weights (``model.py:46-55``)
+    loaded = load_pretrained(cfg.llm_backbone, cfg.llm_layers)
+    if loaded is not None:
+        hf_params, embed_tokens, bcfg = loaded
+        params["backbone"] = jax.tree_util.tree_map(jax.numpy.asarray, hf_params)
+        if cfg.use_bos_token:
+            params["bos"] = bos_embedding(embed_tokens, bcfg)
+        logger.info("Loaded pretrained backbone %s", cfg.llm_backbone)
+    else:
+        logger.info("Pretrained %s unavailable; using random init", cfg.llm_backbone)
+
+    if len(jax.devices()) > 1:
+        mesh = make_mesh(cfg.parallel)
+        params = shard_params(params, mesh, cfg.parallel)
+
+    mask = model.trainable_mask(params)
+    trainable, frozen = partition(params, mask)
+    opt_state = trainer.opt.init(trainable)
+    state = TrainState(trainable=trainable, frozen=frozen, opt_state=opt_state)
+    logger.info(
+        "The model has %d trainable parameters (%d frozen)",
+        count_params(trainable), count_params(frozen),
+    )
+    return model, trainer, state
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_path", default="configs/training1.yaml")
+    parser.add_argument("--save_folder", default=None)
+    parser.add_argument("--metrics_jsonl", default=None)
+    args = parser.parse_args(argv)
+
+    cfg = Config.from_yaml(args.config_path)
+    rng = set_seed(cfg.seed)
+    logger.info("Parameters for training: %s", cfg.to_dict())
+
+    # per-role seq_len overrides (``main.py:181-186``)
+    train_ds = get_dataset(cfg.replace(seq_len=cfg.autoreg_seq_len), mode="train")
+    valid_ds = get_dataset(cfg.replace(seq_len=cfg.val_seq_len), mode="valid")
+    ds_props = train_ds.ds_props()
+
+    model, trainer, state = build_model_and_state(cfg, ds_props, rng)
+
+    save_path = ""
+    if cfg.save_on:
+        save_path = ckpt.make_save_folder(cfg.checkpoint_save_path, args.save_folder)
+        cfg.to_yaml(f"{save_path}/config.yaml")
+        logger.info("Saving checkpoints to: %s", save_path)
+
+    log_fn = None
+    if args.metrics_jsonl:
+        f = open(args.metrics_jsonl, "a")
+
+        def log_fn(metrics, epoch):
+            f.write(json.dumps({"epoch": epoch, **metrics}) + "\n")
+            f.flush()
+
+    train_run(cfg, trainer, state, train_ds, valid_ds, save_path, rng=rng, log_fn=log_fn)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,370 @@
+"""Decoder-only transformer backbone (OPT / GPT-2 / LLaMA layouts), functional JAX.
+
+Replaces the HF ``AutoModel`` backbone of the reference
+(``src/models/model.py:46-55``).  The reference feeds pre-computed patch
+embeddings via ``inputs_embeds`` (token embeddings nulled through
+``PassthroughEmbeddings``, ``model.py:102-104``) — so the backbone here takes
+embeddings directly and has no token-embedding table in its forward path.
+
+Fidelity notes:
+- OPT/GPT-2 still add their own learned 1-D positional embedding on top of
+  ``inputs_embeds`` (HF ``OPTDecoder``/``GPT2Model`` behaviour the reference
+  inherits); ``pos="learned"`` reproduces that, with OPT's offset-2 indexing.
+- Positions are computed as ``cumsum(valid)-1`` over the validity mask, which
+  equals ``arange(L)`` for dense inputs (the only case the reference hits) and
+  stays correct for the left-padded rollout windows used by the TPU scan.
+- Layer truncation (``llm_layers``, ``model.py:37-39``) is just ``n_layers``.
+
+Everything is a pure function over a params pytree, so pjit sharding,
+LoRA/DoRA wrapping, and HF weight import are plain tree operations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+
+@dataclass(frozen=True)
+class BackboneConfig:
+    family: str  # "opt" | "gpt2" | "llama"
+    n_layers: int
+    d_model: int
+    n_heads: int
+    d_ff: int
+    n_kv_heads: Optional[int] = None  # GQA; None -> n_heads
+    max_pos: int = 2048
+    vocab_size: int = 50272
+    act: str = "relu"  # "relu" | "gelu_new" | "silu"
+    norm: str = "layernorm"  # "layernorm" | "rmsnorm"
+    pos: str = "learned"  # "learned" | "rope"
+    pos_offset: int = 0  # OPT uses 2
+    rope_theta: float = 10000.0
+    ln_eps: float = 1e-5
+    dropout: float = 0.1
+    attn_impl: str = "auto"  # "auto" | "xla" | "flash"
+    dtype: Any = jnp.float32  # activation dtype (bf16 for parity with ref)
+    remat: bool = False  # rematerialise each block (jax.checkpoint)
+
+    @property
+    def kv_heads(self) -> int:
+        return self.n_kv_heads or self.n_heads
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+    def replace(self, **kw) -> "BackboneConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Known HF layouts used by the reference (``configs/training1.yaml:4``,
+# ``src/models/model.py:35-36``).  Truncate with ``n_layers`` as needed.
+PRESETS: dict[str, BackboneConfig] = {
+    "facebook/opt-125m": BackboneConfig(
+        family="opt", n_layers=12, d_model=768, n_heads=12, d_ff=3072,
+        act="relu", norm="layernorm", pos="learned", pos_offset=2,
+        max_pos=2048, vocab_size=50272,
+    ),
+    "facebook/opt-350m": BackboneConfig(
+        family="opt", n_layers=24, d_model=1024, n_heads=16, d_ff=4096,
+        act="relu", norm="layernorm", pos="learned", pos_offset=2,
+        max_pos=2048, vocab_size=50272,
+    ),
+    "facebook/opt-2.7b": BackboneConfig(
+        family="opt", n_layers=32, d_model=2560, n_heads=32, d_ff=10240,
+        act="relu", norm="layernorm", pos="learned", pos_offset=2,
+        max_pos=2048, vocab_size=50272,
+    ),
+    "openai-community/gpt2": BackboneConfig(
+        family="gpt2", n_layers=12, d_model=768, n_heads=12, d_ff=3072,
+        act="gelu_new", norm="layernorm", pos="learned",
+        max_pos=1024, vocab_size=50257,
+    ),
+    "gpt2": BackboneConfig(
+        family="gpt2", n_layers=12, d_model=768, n_heads=12, d_ff=3072,
+        act="gelu_new", norm="layernorm", pos="learned",
+        max_pos=1024, vocab_size=50257,
+    ),
+    "huggyllama/llama-7b": BackboneConfig(
+        family="llama", n_layers=32, d_model=4096, n_heads=32, d_ff=11008,
+        act="silu", norm="rmsnorm", pos="rope", ln_eps=1e-6,
+        max_pos=2048, vocab_size=32000, dropout=0.0,
+    ),
+}
+
+
+def preset(name: str, llm_layers: int = -1, **overrides) -> BackboneConfig:
+    """Resolve a backbone name + optional layer truncation (``model.py:37-39``)."""
+    if name not in PRESETS:
+        raise ValueError(f"Unknown backbone {name!r}; known: {sorted(PRESETS)}")
+    cfg = PRESETS[name]
+    if llm_layers > cfg.n_layers:
+        raise ValueError(
+            f"Requested number of layers ({llm_layers}) is greater than the "
+            f"model's ({cfg.n_layers})!"
+        )
+    if llm_layers > 0:
+        cfg = cfg.replace(n_layers=llm_layers)
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+
+
+def _linear_init(key, d_in, d_out, std=0.02, bias=True):
+    wk, _ = jax.random.split(key)
+    p = {"w": jax.random.normal(wk, (d_in, d_out), jnp.float32) * std}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def _norm_init(d, bias=True):
+    p = {"scale": jnp.ones((d,), jnp.float32)}
+    if bias:
+        p["bias"] = jnp.zeros((d,), jnp.float32)
+    return p
+
+
+def init_params(key: jax.Array, cfg: BackboneConfig) -> Params:
+    keys = jax.random.split(key, cfg.n_layers + 2)
+    has_bias = cfg.family != "llama"
+    d, ff = cfg.d_model, cfg.d_ff
+    kv_dim = cfg.kv_heads * cfg.head_dim
+
+    layers = []
+    for li in range(cfg.n_layers):
+        k = jax.random.split(keys[li], 8)
+        attn = {
+            "q": _linear_init(k[0], d, d, bias=has_bias),
+            "k": _linear_init(k[1], d, kv_dim, bias=has_bias),
+            "v": _linear_init(k[2], d, kv_dim, bias=has_bias),
+            "o": _linear_init(k[3], d, d, bias=has_bias),
+        }
+        if cfg.family == "llama":
+            mlp = {
+                "gate": _linear_init(k[4], d, ff, bias=False),
+                "up": _linear_init(k[5], d, ff, bias=False),
+                "down": _linear_init(k[6], ff, d, bias=False),
+            }
+        else:
+            mlp = {
+                "fc1": _linear_init(k[4], d, ff),
+                "fc2": _linear_init(k[5], ff, d),
+            }
+        layers.append(
+            {
+                "ln1": _norm_init(d, bias=has_bias),
+                "attn": attn,
+                "ln2": _norm_init(d, bias=has_bias),
+                "mlp": mlp,
+            }
+        )
+
+    params: Params = {
+        "layers": layers,
+        "final_norm": _norm_init(d, bias=has_bias),
+    }
+    if cfg.pos == "learned":
+        params["pos_embed"] = (
+            jax.random.normal(keys[-1], (cfg.max_pos + cfg.pos_offset, d), jnp.float32) * 0.02
+        )
+    return params
+
+
+# --------------------------------------------------------------------------
+# apply
+# --------------------------------------------------------------------------
+
+
+def _norm(x, p, cfg: BackboneConfig):
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    if cfg.norm == "rmsnorm":
+        x = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + cfg.ln_eps)
+        out = x * p["scale"]
+    else:
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        out = (x - mu) * jax.lax.rsqrt(var + cfg.ln_eps) * p["scale"] + p["bias"]
+    return out.astype(dtype)
+
+
+def _linear(x, p):
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def _act(x, name):
+    if name == "relu":
+        return jax.nn.relu(x)
+    if name == "gelu_new":
+        return jax.nn.gelu(x, approximate=True)
+    if name == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    if name == "silu":
+        return jax.nn.silu(x)
+    raise ValueError(name)
+
+
+def _rope(q, k, positions, cfg: BackboneConfig):
+    """LLaMA rotary embedding: rotate (q, k) by per-position angles."""
+    hd = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # (bs, L, hd/2)
+    cos = jnp.cos(angles)[:, :, None, :]  # (bs, L, 1, hd/2)
+    sin = jnp.sin(angles)[:, :, None, :]
+
+    def rot(x):
+        x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+        out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+        return out.astype(x.dtype)
+
+    return rot(q), rot(k)
+
+
+def _attention_xla(q, k, v, allowed, dtype):
+    """Reference-path scaled dot-product attention with a boolean mask.
+
+    q/k/v: (bs, L, H, hd); allowed: (bs, 1, Lq, Lk) or (1, 1, Lq, Lk).
+    """
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(allowed, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def make_masks(valid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Build (positions, allowed) from a per-token validity mask.
+
+    valid: (bs, L) bool.  positions: (bs, L) int32 = cumsum(valid)-1 (clipped
+    at 0), matching HF OPT's attention-mask-based position ids.  allowed:
+    (bs, 1, L, L) bool = causal AND key-valid, with the diagonal forced on so
+    invalid-query rows still have one finite logit (their outputs are unused).
+    """
+    bs, L = valid.shape
+    positions = jnp.maximum(jnp.cumsum(valid.astype(jnp.int32), axis=-1) - 1, 0)
+    causal = jnp.tril(jnp.ones((L, L), bool))
+    allowed = causal[None, :, :] & valid[:, None, :]
+    eye = jnp.eye(L, dtype=bool)
+    allowed = allowed | eye[None, :, :]
+    return positions, allowed[:, None, :, :]
+
+
+def apply(
+    params: Params,
+    cfg: BackboneConfig,
+    inputs_embeds: jnp.ndarray,
+    valid: Optional[jnp.ndarray] = None,
+    *,
+    lora: Optional[Params] = None,
+    lora_cfg=None,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Run the backbone over ``inputs_embeds`` (bs, L, d) -> (bs, L, d).
+
+    ``valid``: optional (bs, L) bool token-validity mask (True = real token).
+    Dense input (valid=None) reproduces the reference exactly; masked input is
+    used by the fixed-shape rollout window (see ``rollout/generate.py``).
+    ``lora``/``lora_cfg``: optional adapter tree from ``models/lora.py``.
+    """
+    from fluid_llm_tpu.models.lora import lora_linear
+
+    bs, L, d = inputs_embeds.shape
+    x = inputs_embeds.astype(cfg.dtype)
+    if valid is None:
+        valid = jnp.ones((bs, L), bool)
+    positions, allowed = make_masks(valid)
+
+    if cfg.pos == "learned":
+        pos_ids = positions + cfg.pos_offset
+        x = x + params["pos_embed"][pos_ids].astype(cfg.dtype)
+
+    dropout_rate = cfg.dropout if train else 0.0
+    if dropout_rate > 0.0 and rng is None:
+        raise ValueError("dropout requires an rng")
+    n_drops = 1 + cfg.n_layers * 2
+    # keys are threaded whenever an rng is supplied (LoRA dropout needs them
+    # even when the backbone's own dropout is 0)
+    drop_keys = jax.random.split(rng, n_drops) if rng is not None else [None] * n_drops
+
+    def dropout(h, key):
+        if dropout_rate == 0.0 or key is None:
+            return h
+        keep = jax.random.bernoulli(key, 1.0 - dropout_rate, h.shape)
+        return jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
+
+    # OPT/GPT2 apply dropout to the embedding stream
+    x = dropout(x, drop_keys[0])
+
+    def block(x, layer_params, layer_lora, dk0, dk1):
+        def lin(h, group, name):
+            ad = None
+            if layer_lora is not None:
+                ad = layer_lora.get(group, {}).get(name)
+            if ad is None:
+                return _linear(h, layer_params[group][name])
+            return lora_linear(h, layer_params[group][name], ad, lora_cfg, train=train, rng=dk0)
+
+        h = _norm(x, layer_params["ln1"], cfg)
+        q = lin(h, "attn", "q").reshape(bs, L, cfg.n_heads, cfg.head_dim)
+        k = lin(h, "attn", "k").reshape(bs, L, cfg.kv_heads, cfg.head_dim)
+        v = lin(h, "attn", "v").reshape(bs, L, cfg.kv_heads, cfg.head_dim)
+        if cfg.pos == "rope":
+            q, k = _rope(q, k, positions, cfg)
+        if cfg.kv_heads != cfg.n_heads:
+            rep = cfg.n_heads // cfg.kv_heads
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+        attn_out = _sdpa(q, k, v, allowed, valid, cfg)
+        attn_out = attn_out.reshape(bs, L, d)
+        attn_out = lin(attn_out, "attn", "o")
+        x = x + dropout(attn_out, dk0)
+
+        h = _norm(x, layer_params["ln2"], cfg)
+        if cfg.family == "llama":
+            h = lin(jax.nn.silu(lin(h, "mlp", "gate")) * lin(h, "mlp", "up"), "mlp", "down")
+        else:
+            h = lin(_act(lin(h, "mlp", "fc1"), cfg.act), "mlp", "fc2")
+        # one residual dropout per branch (HF OPT/GPT-2 placement)
+        x = x + dropout(h, dk1)
+        return x
+
+    block_fn = jax.checkpoint(block, static_argnums=()) if cfg.remat else block
+
+    lora_layers = (lora or {}).get("layers", [None] * cfg.n_layers)
+    for li, layer_params in enumerate(params["layers"]):
+        x = block_fn(x, layer_params, lora_layers[li], drop_keys[1 + 2 * li], drop_keys[2 + 2 * li])
+
+    x = _norm(x, params["final_norm"], cfg)
+    return x
+
+
+def _sdpa(q, k, v, allowed, valid, cfg: BackboneConfig):
+    """Dispatch attention to the Pallas flash kernel on TPU or the XLA path."""
+    impl = cfg.attn_impl
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        impl = "flash" if on_tpu else "xla"
+    if impl == "flash":
+        try:
+            from fluid_llm_tpu.ops.flash_attention import flash_attention
+
+            return flash_attention(q, k, v, valid)
+        except Exception:
+            pass
+    return _attention_xla(q, k, v, allowed, cfg.dtype)

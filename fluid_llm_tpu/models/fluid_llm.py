@@ -1,0 +1,193 @@
+"""FluidLLM: patches -> LLM backbone -> per-pixel diff predictions.
+
+Functional equivalent of ``MultivariateTimeLLM`` (``src/models/model.py:26``):
+
+- patch embeddings + 3-axis positional encodings (``model.py:84-89``),
+- flatten (bs, seq, N_patch, d) -> (bs, seq*N_patch, d) (``model.py:138``),
+- optional trainable BOS embedding prepended (``model.py:62-73,139-142``),
+- causal LLM backbone on ``inputs_embeds`` (token embeddings bypassed — the
+  ``PassthroughEmbeddings`` trick at ``model.py:102-104``),
+- patch decoder to per-pixel (Vx, Vy, P) diffs, scaled by
+  ``diff_scale_factor`` (``model.py:148-152``),
+- ``forward_see_init`` duplicates the first frame so the model sees the full
+  initial condition before predicting (``model.py:118-126``).
+
+Generation lives in ``rollout/generate.py`` as a ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from fluid_llm_tpu.config import Config
+from fluid_llm_tpu.data.ds_props import DSProps
+from fluid_llm_tpu.models import backbone as bb
+from fluid_llm_tpu.models.decoders import patch_decoder_apply, patch_decoder_init
+from fluid_llm_tpu.models.embeddings import input_embeddings_apply, input_embeddings_init
+from fluid_llm_tpu.models.lora import init_lora
+
+Params = dict[str, Any]
+
+
+@dataclass(frozen=True)
+class FluidLLM:
+    """Static model definition; parameters live in a separate pytree."""
+
+    cfg: Config
+    ds_props: DSProps
+    backbone_cfg: bb.BackboneConfig
+
+    @classmethod
+    def build(cls, cfg: Config, ds_props: DSProps, **backbone_overrides) -> "FluidLLM":
+        dtype = jnp.bfloat16 if cfg.half_precision else jnp.float32
+        bcfg = bb.preset(cfg.llm_backbone, cfg.llm_layers).replace(
+            dtype=dtype,
+            remat=cfg.parallel.remat,
+            attn_impl="auto" if cfg.flash_attention else "xla",
+            **backbone_overrides,
+        )
+        return cls(cfg=cfg, ds_props=ds_props, backbone_cfg=bcfg)
+
+    # ``max_seq_len``: +1 input frame when see_init duplicates frame 0
+    # (``model.py:79``); the positional-embedding t-table must cover it.
+    @property
+    def max_seq_len(self) -> int:
+        return self.ds_props.seq_len + 1 if self.cfg.see_init_state else self.ds_props.seq_len
+
+    @property
+    def max_ctx_len(self) -> int:
+        return self.max_seq_len  # ``model.py:94``
+
+    @property
+    def tokens_per_frame(self) -> int:
+        return self.ds_props.N_patch
+
+    def init(self, key: jax.Array) -> Params:
+        k_bb, k_emb, k_dec, k_lora, k_bos = jax.random.split(key, 5)
+        d = self.backbone_cfg.d_model
+        params: Params = {
+            "backbone": bb.init_params(k_bb, self.backbone_cfg),
+            "input_emb": input_embeddings_init(
+                k_emb,
+                self.ds_props.patch_in_dim,
+                d,
+                (self.ds_props.Nx_patch, self.ds_props.Ny_patch, self.max_seq_len),
+                self.cfg.encoder_params,
+                self.cfg.pos_embedding_params,
+            ),
+            "decoder": patch_decoder_init(k_dec, d, self.ds_props, self.cfg.decoder_params),
+        }
+        if self.cfg.use_bos_token:
+            # Initialised from the pretrained BOS embedding when HF weights are
+            # imported (``model.py:70-73``); random otherwise.
+            params["bos"] = jax.random.normal(k_bos, (d,), jnp.float32) * 0.02
+        if self.cfg.use_lora and not self.cfg.freeze_llm:
+            params["lora"] = init_lora(k_lora, params["backbone"], self.cfg.lora_config)
+        return params
+
+    def trainable_mask(self, params: Params) -> Params:
+        """True where a leaf receives gradients (peft/freeze semantics,
+        ``model.py:106-116``)."""
+        backbone_trainable = not self.cfg.freeze_llm and not self.cfg.use_lora
+
+        def mask_subtree(tree, flag):
+            return jax.tree_util.tree_map(lambda _: flag, tree)
+
+        out = {}
+        for name, sub in params.items():
+            flag = True if name != "backbone" else backbone_trainable
+            out[name] = mask_subtree(sub, flag)
+        return out
+
+    # -- forward ------------------------------------------------------------
+
+    def forward(
+        self,
+        params: Params,
+        x: jnp.ndarray,
+        position_ids: jnp.ndarray,
+        *,
+        frame_valid: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """``model.py:128-152``.
+
+        x: (bs, seq, N_patch, 3, px, py); position_ids: (bs, seq, N_patch, 3).
+        frame_valid: optional (bs, seq) bool — used by the fixed-shape rollout
+        window; None means all frames are real (the reference's only case).
+        Returns diffs as images (bs, seq, 3, tot_px, tot_py).
+        """
+        cfg = self.cfg
+        bs, seq_len, n_patch = x.shape[:3]
+        if rng is not None:
+            r_emb, r_bb, r_dec = jax.random.split(rng, 3)
+        else:
+            r_emb = r_bb = r_dec = None
+
+        h = input_embeddings_apply(
+            params["input_emb"], x, position_ids, cfg.encoder_params,
+            cfg.pos_embedding_params, train=train, rng=r_emb,
+        )
+        h = h.astype(self.backbone_cfg.dtype)
+        h = h.reshape(bs, seq_len * n_patch, -1)
+
+        if frame_valid is None:
+            token_valid = jnp.ones((bs, seq_len * n_patch), bool)
+        else:
+            token_valid = jnp.repeat(frame_valid, n_patch, axis=1)
+
+        if cfg.use_bos_token:
+            bos = jnp.broadcast_to(
+                params["bos"].astype(h.dtype)[None, None, :], (bs, 1, h.shape[-1])
+            )
+            h = jnp.concatenate([bos, h], axis=1)
+            token_valid = jnp.concatenate([jnp.ones((bs, 1), bool), token_valid], axis=1)
+
+        out = bb.apply(
+            params["backbone"], self.backbone_cfg, h, token_valid,
+            lora=params.get("lora"), lora_cfg=cfg.lora_config, train=train, rng=r_bb,
+        )
+        if cfg.use_bos_token:
+            out = out[:, 1:]
+
+        tokens = out.reshape(bs, seq_len, n_patch, -1)
+        preds = patch_decoder_apply(
+            params["decoder"], tokens, self.ds_props, cfg.decoder_params,
+            train=train, rng=r_dec,
+        )
+        # (bs, seq, X, Y, 3) -> (bs, seq, 3, X, Y), scaled (``model.py:151-152``)
+        preds = jnp.transpose(preds, (0, 1, 4, 2, 3)).astype(jnp.float32)
+        return preds * cfg.diff_scale_factor
+
+    def forward_see_init(
+        self,
+        params: Params,
+        states: jnp.ndarray,
+        position_ids: jnp.ndarray,
+        *,
+        frame_valid: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """Duplicate the first frame, run forward, drop its prediction
+        (``model.py:118-126``).  With ``frame_valid`` the duplicated slot is
+        the *first valid* frame handled by the rollout caller."""
+        states = jnp.concatenate([states[:, :1], states], axis=1)
+        position_ids = jnp.concatenate([position_ids[:, :1], position_ids], axis=1)
+        if frame_valid is not None:
+            frame_valid = jnp.concatenate([frame_valid[:, :1], frame_valid], axis=1)
+        preds = self.forward(
+            params, states, position_ids, frame_valid=frame_valid, train=train, rng=rng
+        )
+        return preds[:, 1:]
+
+    def predict_diffs(self, params: Params, states, position_ids, **kw) -> jnp.ndarray:
+        """Dispatch on ``see_init_state`` (``trainer.py:89-92``)."""
+        if self.cfg.see_init_state:
+            return self.forward_see_init(params, states, position_ids, **kw)
+        return self.forward(params, states, position_ids, **kw)

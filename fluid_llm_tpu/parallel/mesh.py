@@ -1,0 +1,150 @@
+"""Device mesh construction and batch/param sharding.
+
+The reference's only parallelism is DDP gradient all-reduce via HF
+Accelerate/NCCL (``run_training.sh:5``, ``src/main.py:151``, SURVEY.md §2.4).
+TPU-native equivalent: a ``jax.sharding.Mesh`` with axes
+
+    ("data", "fsdp", "model")
+
+- ``data``:  pure batch sharding (DDP analogue; gradient psum inserted by XLA),
+- ``fsdp``:  optimizer/parameter sharding (the ZeRO-2 analogue the reference
+             wires but never enables, ``src/utils.py:53-58``),
+- ``model``: tensor parallelism for large backbones (LLaMA-7B on v5e-8 —
+             attention heads and MLP hidden sharded).
+
+All collectives are emitted by XLA from sharding annotations; there is no
+hand-written communication.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fluid_llm_tpu.config import ParallelConfig
+
+
+def make_mesh(cfg: Optional[ParallelConfig] = None, devices=None) -> Mesh:
+    cfg = cfg or ParallelConfig()
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    model = max(1, cfg.model_axis)
+    fsdp = max(1, cfg.fsdp_axis)
+    if n % (model * fsdp) != 0:
+        raise ValueError(f"{n} devices not divisible by model={model} * fsdp={fsdp}")
+    data = n // (model * fsdp) if cfg.data_axis == -1 else cfg.data_axis
+    if data * fsdp * model != n:
+        raise ValueError(f"mesh {data}x{fsdp}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, fsdp, model)
+    return Mesh(arr, ("data", "fsdp", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch tensors shard over (data, fsdp) jointly — fsdp devices see
+    distinct microbatches, ZeRO-style."""
+    return NamedSharding(mesh, P(("data", "fsdp")))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: tuple, mesh: Mesh) -> tuple:
+    sh = batch_sharding(mesh)
+    return tuple(jax.device_put(x, sh) for x in batch)
+
+
+# -- parameter partition specs ----------------------------------------------
+
+
+def backbone_param_specs(backbone_params: dict, fsdp: bool, tp: bool) -> dict:
+    """PartitionSpec tree for the backbone.
+
+    Tensor-parallel layout (classic Megatron split, all-reduce after o/fc2):
+      q/k/v: shard output (heads) dim       -> P(fsdp?, "model")
+      o:     shard input dim                -> P("model", fsdp?)
+      fc1/gate/up: shard output dim         -> P(fsdp?, "model")
+      fc2/down:    shard input dim          -> P("model", fsdp?)
+    With fsdp, the non-model dim of every matrix is sharded over "fsdp"
+    (gathered on use by XLA).
+    """
+    f = "fsdp" if fsdp else None
+    m = "model" if tp else None
+
+    def matrix(kind: str):
+        if kind == "col":  # output-dim sharded
+            return P(f, m)
+        if kind == "row":  # input-dim sharded
+            return P(m, f)
+        return P(f)
+
+    def linear_spec(kind):
+        return {"w": matrix(kind), "b": P(m) if kind == "col" else P()}
+
+    def layer_spec(layer):
+        spec = {
+            "ln1": {k: P() for k in layer["ln1"]},
+            "ln2": {k: P() for k in layer["ln2"]},
+            "attn": {
+                "q": _fit(linear_spec("col"), layer["attn"]["q"]),
+                "k": _fit(linear_spec("col"), layer["attn"]["k"]),
+                "v": _fit(linear_spec("col"), layer["attn"]["v"]),
+                "o": _fit(linear_spec("row"), layer["attn"]["o"]),
+            },
+        }
+        if "gate" in layer["mlp"]:
+            spec["mlp"] = {
+                "gate": _fit(linear_spec("col"), layer["mlp"]["gate"]),
+                "up": _fit(linear_spec("col"), layer["mlp"]["up"]),
+                "down": _fit(linear_spec("row"), layer["mlp"]["down"]),
+            }
+        else:
+            spec["mlp"] = {
+                "fc1": _fit(linear_spec("col"), layer["mlp"]["fc1"]),
+                "fc2": _fit(linear_spec("row"), layer["mlp"]["fc2"]),
+            }
+        return spec
+
+    spec: dict[str, Any] = {
+        "layers": [layer_spec(l) for l in backbone_params["layers"]],
+        "final_norm": {k: P() for k in backbone_params["final_norm"]},
+    }
+    if "pos_embed" in backbone_params:
+        spec["pos_embed"] = P(f)
+    return spec
+
+
+def _fit(spec: dict, params: dict) -> dict:
+    """Drop spec entries for params that don't exist (e.g. no bias)."""
+    return {k: v for k, v in spec.items() if k in params}
+
+
+def param_specs(params: dict, parallel: ParallelConfig) -> dict:
+    """Full-model PartitionSpec tree mirroring ``FluidLLM`` params."""
+    fsdp = parallel.fsdp_axis > 1
+    tp = parallel.model_axis > 1
+
+    spec: dict[str, Any] = {}
+    for name, sub in params.items():
+        if name == "backbone":
+            spec[name] = backbone_param_specs(sub, fsdp, tp)
+        elif name == "lora":
+            # adapters are tiny; replicate (their matmuls follow the
+            # activation sharding)
+            spec[name] = jax.tree_util.tree_map(lambda _: P(), sub)
+        else:
+            spec[name] = jax.tree_util.tree_map(lambda _: P(), sub)
+    return spec
+
+
+def shard_params(params: dict, mesh: Mesh, parallel: ParallelConfig) -> dict:
+    specs = param_specs(params, parallel)
+    return jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: isinstance(x, P) or x is None,
+    )

@@ -1,0 +1,120 @@
+"""Epoch loop: run-mode selection, validation cadence, checkpoints, logging.
+
+Equivalent of ``src/main.py:43-172``:
+
+- mode selection per epoch: autoreg until ``teacher_forcing.start_epoch``,
+  then a ``tf_prob`` coin flip between autoreg and gen/notf (``main.py:43-59``),
+- ``StepLR`` stepped once per epoch (``main.py:82``),
+- validation every 3 epochs (``main.py:116-118``),
+- checkpoint every ``save_model_each`` epochs (``main.py:133-143``),
+- metric aggregation identical to ``process_metrics`` (``src/utils.py:163``).
+
+Observability goes beyond the reference (which has none, SURVEY.md §5): an
+optional ``jax.profiler`` trace can be captured for the first epoch via
+``cfg.profile_dir``.
+"""
+
+from __future__ import annotations
+
+import logging
+import random as pyrandom
+import time
+from typing import Callable, Optional
+
+import jax
+
+from fluid_llm_tpu.config import Config
+from fluid_llm_tpu.data.pipeline import PatchDataset, make_batches
+from fluid_llm_tpu.train import checkpoint as ckpt
+from fluid_llm_tpu.train.optim import set_learning_rate, steplr
+from fluid_llm_tpu.train.trainer import Trainer, TrainState
+from fluid_llm_tpu.utils import process_metrics
+
+logger = logging.getLogger("fluid_llm_tpu.train")
+
+
+def select_run_mode(trainer: Trainer, cfg: Config, epoch: int) -> tuple[Callable, str]:
+    """``src/main.py:43-59``."""
+    tf = cfg.teacher_forcing
+    autoreg = (trainer.train_step_autoreg, "Autoreg")
+    if tf.start_epoch != 0 and epoch < tf.start_epoch:
+        return autoreg
+    if pyrandom.random() < tf.tf_prob:
+        return autoreg
+    if tf.tf_mode == "gen":
+        return trainer.train_step_gen, "Gen"
+    if tf.tf_mode == "notf":
+        return trainer.train_step_notf, "Gen"
+    raise ValueError(f"Invalid configuration {tf.tf_mode}")
+
+
+def train_run(
+    cfg: Config,
+    trainer: Trainer,
+    state: TrainState,
+    train_ds: PatchDataset,
+    valid_ds: PatchDataset,
+    save_path: str = "",
+    start_ep: int = 0,
+    rng: Optional[jax.Array] = None,
+    log_fn: Optional[Callable[[dict, int], None]] = None,
+) -> TrainState:
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+    lr_schedule = steplr(cfg.learning_rate, cfg.schedule_epoch, cfg.schedule_gamma)
+    st = time.time()
+
+    for epoch_idx in range(cfg.num_epochs):
+        epoch = epoch_idx + start_ep
+        state.opt_state = set_learning_rate(state.opt_state, lr_schedule(epoch_idx))
+        step_fn, run_mode = select_run_mode(trainer, cfg, epoch)
+
+        profiling = cfg.profile_dir and epoch_idx == 0
+        if profiling:
+            jax.profiler.start_trace(cfg.profile_dir)
+
+        train_metrics = []
+        for batch in make_batches(train_ds, cfg.batch_size, shuffle=True, seed=epoch):
+            rng, step_rng = jax.random.split(rng)
+            state.trainable, state.opt_state, metrics = step_fn(
+                state.trainable, state.frozen, state.opt_state, batch, step_rng
+            )
+            train_metrics.append(jax.device_get(metrics))
+        if profiling:
+            jax.profiler.stop_trace()
+
+        train_log, loss, nrmse = process_metrics(train_metrics, run_mode, "train")
+        train_log["lr"] = lr_schedule(epoch_idx)
+
+        if epoch_idx % 3 == 0:
+            val_metrics = [
+                jax.device_get(trainer.val_step(state.trainable, state.frozen, batch))
+                for batch in make_batches(valid_ds, cfg.batch_size, shuffle=False)
+            ]
+            val_log, val_loss, val_nrmse = process_metrics(val_metrics, "Gen", "val")
+            train_log.update(val_log)
+        else:
+            val_loss, val_nrmse = 0.0, 0.0
+
+        if log_fn is not None:
+            log_fn(train_log, epoch)
+
+        t = time.time() - st
+        st = time.time()
+        logger.info(
+            "Epoch %d: Training (Loss: %.4g | N_RMSE: %.5g) - "
+            "Validation (Loss: %.4g | N_RMSE: %.5g)  Time: %.1f",
+            epoch + 1, loss, nrmse, val_loss, val_nrmse, t,
+        )
+
+        if (
+            cfg.save_on
+            and save_path
+            and cfg.save_model_each > 0
+            and epoch_idx % cfg.save_model_each == 0
+        ):
+            state.epoch = epoch
+            path = ckpt.save_checkpoint(save_path, epoch, state, cfg)
+            logger.info("Saved checkpoint at epoch %d to %s", epoch, path)
+
+    state.epoch = start_ep + cfg.num_epochs
+    return state

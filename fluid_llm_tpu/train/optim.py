@@ -1,0 +1,84 @@
+"""Optimizers, StepLR schedule, and trainable/frozen param partitioning.
+
+Equivalent of ``Trainer.prepare_optimizers`` (``src/trainer.py:222-247``):
+AdamW / Adam / SGD with torch-style L2 semantics plus ``StepLR(step_size,
+gamma)`` stepped once per epoch (``src/main.py:82``).
+
+Frozen parameters (the pretrained backbone under LoRA / ``freeze_llm``) are
+partitioned *out* of the optimizer: no moments are allocated for them — the
+TPU-native analogue of peft only passing trainable params to the optimizer.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+
+from fluid_llm_tpu.config import Config
+
+Params = dict[str, Any]
+
+
+def partition(params: Params, mask: Params) -> tuple[Params, Params]:
+    """Split params into (trainable, frozen) trees with None placeholders."""
+    trainable = jax.tree_util.tree_map(lambda p, m: p if m else None, params, mask)
+    frozen = jax.tree_util.tree_map(lambda p, m: None if m else p, params, mask)
+    return trainable, frozen
+
+
+def combine(trainable: Params, frozen: Params) -> Params:
+    return jax.tree_util.tree_map(
+        lambda a, b: a if a is not None else b,
+        trainable,
+        frozen,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def steplr(base_lr: float, step_size: int, gamma: float):
+    """torch ``StepLR``: lr * gamma**(epoch // step_size)."""
+
+    def schedule(epoch: int) -> float:
+        return base_lr * (gamma ** (epoch // step_size))
+
+    return schedule
+
+
+def build_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Optimizer with an injectable learning rate (set per epoch by the loop)."""
+    wd = cfg.weight_decay
+
+    if cfg.optimizer == "adamw":
+        opt = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=cfg.learning_rate, weight_decay=wd
+        )
+    elif cfg.optimizer == "adam":
+        # torch Adam applies weight decay as L2 on the gradient before moments
+        def adam_l2(learning_rate):
+            return optax.chain(
+                optax.add_decayed_weights(wd),
+                optax.scale_by_adam(),
+                optax.scale_by_learning_rate(learning_rate),
+            )
+
+        opt = optax.inject_hyperparams(adam_l2)(learning_rate=cfg.learning_rate)
+    elif cfg.optimizer == "sgd":
+
+        def sgd_l2(learning_rate):
+            return optax.chain(
+                optax.add_decayed_weights(wd),
+                optax.scale_by_learning_rate(learning_rate),
+            )
+
+        opt = optax.inject_hyperparams(sgd_l2)(learning_rate=cfg.learning_rate)
+    else:
+        raise ValueError(f"Unknown optimizer type: {cfg.optimizer}")
+    return opt
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected learning rate in-place-ish (returns new state)."""
+    opt_state.hyperparams["learning_rate"] = jax.numpy.asarray(lr, dtype=jax.numpy.float32)
+    return opt_state

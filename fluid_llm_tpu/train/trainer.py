@@ -1,0 +1,171 @@
+"""Training/validation step logic: the three step modes of the reference.
+
+Equivalent of ``src/trainer.py:16-220``:
+
+- ``autoreg``  (``run_train_step``, :72):   teacher-forced one-step diffs,
+  optional input noise scaled by the per-batch diff std (:83-87).
+- ``gen``      (``run_gen_train_step``, :122): a no-grad rollout produces
+  guide states; the model is trained on single-step corrections from them.
+- ``notf``     (``run_notf_train_step``, :162): loss through the full
+  generated rollout (gradients flow through the scan).
+- ``val``      (``run_val_step``, :196): full-sequence rollout + N-RMSE.
+
+Known reference defects, knowingly corrected (both code paths are dormant
+upstream — ``teacher_forcing.start_epoch=10000`` keeps them unreachable):
+``run_gen_train_step`` drops the last guide frame and ``run_notf_train_step``
+rolls one step short, so both would shape-error against their 1-frame-longer
+targets.  Here guide/rollout lengths line up with the targets.
+
+Each step is a single jitted function over (trainable, frozen, opt_state,
+batch); gradients and optimizer state exist only for trainable leaves.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fluid_llm_tpu.models.fluid_llm import FluidLLM
+from fluid_llm_tpu.ops.patching import img_to_patch, patch_to_img
+from fluid_llm_tpu.rollout.generate import gen_seq
+from fluid_llm_tpu.train.losses import combined_loss
+from fluid_llm_tpu.train.metrics import calc_n_rmse, normalise_states
+from fluid_llm_tpu.train.optim import build_optimizer, combine, partition
+
+Params = dict[str, Any]
+Batch = tuple  # (states, next_state, diffs, bc_mask, position_ids)
+
+
+@dataclass
+class TrainState:
+    trainable: Params
+    frozen: Params
+    opt_state: Any
+    epoch: int = 0
+
+    @property
+    def params(self) -> Params:
+        return combine(self.trainable, self.frozen)
+
+
+class Trainer:
+    def __init__(self, model: FluidLLM):
+        self.model = model
+        self.cfg = model.cfg
+        self.opt = build_optimizer(self.cfg)
+
+        self.train_step_autoreg = jax.jit(partial(self._train_step, mode="autoreg"),
+                                          static_argnames=("mode",), donate_argnums=(0, 2))
+        self.train_step_gen = jax.jit(partial(self._train_step, mode="gen"),
+                                      static_argnames=("mode",), donate_argnums=(0, 2))
+        self.train_step_notf = jax.jit(partial(self._train_step, mode="notf"),
+                                       static_argnames=("mode",), donate_argnums=(0, 2))
+        self.val_step = jax.jit(self._val_step)
+
+    # -- state --------------------------------------------------------------
+
+    def init_state(self, key: jax.Array) -> TrainState:
+        params = self.model.init(key)
+        mask = self.model.trainable_mask(params)
+        trainable, frozen = partition(params, mask)
+        opt_state = self.opt.init(trainable)
+        return TrainState(trainable=trainable, frozen=frozen, opt_state=opt_state)
+
+    # -- losses per mode ----------------------------------------------------
+
+    def _mode_loss(self, params: Params, batch: Batch, rng, mode: str):
+        cfg, model = self.cfg, self.model
+        states, next_state, diffs, bc_mask, position_ids = batch
+        r_noise, r_model = jax.random.split(rng)
+
+        if mode == "autoreg":
+            if cfg.noise is not None:
+                std = jnp.std(diffs, axis=(-1, -2, -3, -4, -5), keepdims=True, ddof=1)
+                noise = (
+                    jax.random.normal(r_noise, states.shape, states.dtype)
+                    * (~bc_mask).astype(states.dtype) * std * cfg.noise
+                )
+                input_states = states + noise
+            else:
+                input_states = states
+            pred_diff = model.predict_diffs(
+                params, input_states, position_ids, train=True, rng=r_model
+            )
+            base_img = patch_to_img(input_states, model.ds_props)
+            pred_state = base_img + pred_diff
+        elif mode == "gen":
+            seq_len = states.shape[1]
+            guide_img, _ = gen_seq(model, jax.lax.stop_gradient(params), batch, seq_len - 1)
+            guide_img = jax.lax.stop_gradient(guide_img)
+            guide_patch = img_to_patch(guide_img, model.ds_props)
+            pred_diffs = model.forward_see_init(
+                params, guide_patch, position_ids, train=True, rng=r_model
+            )
+            pred_state = guide_img + pred_diffs
+        elif mode == "notf":
+            seq_len = states.shape[1]
+            pred_states_img, _ = gen_seq(model, params, batch, seq_len)
+            pred_state = pred_states_img[:, 1:]
+        else:
+            raise ValueError(mode)
+
+        next_img = patch_to_img(next_state, model.ds_props)
+        mask_img = patch_to_img(bc_mask.astype(jnp.float32), model.ds_props).astype(bool)
+
+        if cfg.loss_norm_eps is not None:
+            norm_next, norm_pred = normalise_states(
+                diffs, next_img, pred_state, cfg.loss_norm_eps, cfg.channel_independent
+            )
+            loss, all_losses = combined_loss(
+                norm_pred, norm_next, mask_img,
+                cfg.loss_function, cfg.loss_weighting, cfg.pressure_weight,
+            )
+        else:
+            loss, all_losses = combined_loss(
+                pred_state, next_img, mask_img,
+                cfg.loss_function, cfg.loss_weighting, cfg.pressure_weight,
+            )
+
+        n_rmse = calc_n_rmse(
+            jax.lax.stop_gradient(pred_state), next_img, mask_img
+        )
+        all_losses["loss"] = loss
+        all_losses["N_RMSE"] = n_rmse
+        return loss, all_losses
+
+    # -- steps --------------------------------------------------------------
+
+    def _train_step(self, trainable, frozen, opt_state, batch, rng, *, mode: str):
+        def loss_fn(tr):
+            params = combine(tr, frozen)
+            return self._mode_loss(params, batch, rng, mode)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        updates, opt_state = self.opt.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, metrics
+
+    def _val_step(self, trainable, frozen, batch):
+        """``run_val_step`` (``trainer.py:196-220``)."""
+        params = combine(trainable, frozen)
+        model, cfg = self.model, self.cfg
+        states, _, _, bc_mask, position_ids = batch
+        seq_len = states.shape[1]
+        pred_states, _ = gen_seq(model, params, batch, seq_len)
+        pred_states = pred_states[:, :-1]
+
+        states_img = patch_to_img(states, model.ds_props)
+        mask_img = patch_to_img(bc_mask.astype(jnp.float32), model.ds_props).astype(bool)
+
+        loss, all_losses = combined_loss(
+            pred_states, states_img, mask_img,
+            cfg.loss_function, cfg.loss_weighting, cfg.pressure_weight,
+        )
+        all_losses["loss"] = loss
+        all_losses["N_RMSE"] = calc_n_rmse(pred_states, states_img, mask_img)
+        return all_losses

@@ -1,0 +1,53 @@
+"""Generic utilities: seeding, metric aggregation, logging.
+
+Equivalents of ``src/utils.py`` where still meaningful in JAX (explicit PRNG
+keys replace global seeding for device code; NumPy host-side randomness is
+seeded for dataset step sampling parity).
+"""
+
+from __future__ import annotations
+
+import logging
+import random
+from typing import Any
+
+import jax
+import numpy as np
+
+logger = logging.getLogger("fluid_llm_tpu")
+
+
+def set_seed(seed: int = 1234) -> jax.Array:
+    """Seed host RNGs and return the root JAX key (``src/utils.py:23-26``,
+    default seed 1234)."""
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def process_metrics(
+    metrics_per_epoch: list[dict[str, Any]], run_mode: str, prefix: str
+) -> tuple[dict[str, float], float, float]:
+    """Aggregate per-batch metric dicts (``src/utils.py:163-183``):
+    scalar losses are averaged; N_RMSE is concatenated over batches,
+    averaged per rollout step, then overall."""
+    if not metrics_per_epoch:
+        return {}, 0.0, 0.0
+    out: dict[str, float] = {}
+    loss = 0.0
+    for key in metrics_per_epoch[0]:
+        if key == "N_RMSE":
+            continue
+        vals = [float(m[key]) for m in metrics_per_epoch]
+        out[f"{prefix}/{run_mode}/{key}"] = float(np.mean(vals))
+        if key == "loss":
+            loss = out[f"{prefix}/{run_mode}/{key}"]
+    n_rmse = np.concatenate([np.asarray(m["N_RMSE"]) for m in metrics_per_epoch], axis=0)
+    per_step = n_rmse.mean(axis=0)
+    overall = float(per_step.mean())
+    out[f"{prefix}/{run_mode}/N_RMSE"] = overall
+    return out, loss, overall
+
+
+def count_params(tree) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree) if x is not None)
