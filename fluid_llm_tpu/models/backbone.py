@@ -355,11 +355,16 @@ def apply(
 
 
 def _sdpa(q, k, v, allowed, valid, cfg: BackboneConfig):
-    """Dispatch attention to the Pallas flash kernel on TPU or the XLA path."""
+    """Dispatch attention to the Pallas flash kernel on TPU or the XLA path.
+
+    Measured crossover on v5e: XLA's fused attention wins below ~2k tokens
+    (the reference workload is <=661); the Pallas kernel wins above (1.7x at
+    4k, >25x at 8k where XLA materialises the logits in HBM).
+    """
     impl = cfg.attn_impl
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        impl = "flash" if on_tpu else "xla"
+        impl = "flash" if (on_tpu and q.shape[1] >= 2048) else "xla"
     if impl == "flash":
         try:
             from fluid_llm_tpu.ops.flash_attention import flash_attention

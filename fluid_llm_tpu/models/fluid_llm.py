@@ -191,3 +191,61 @@ class FluidLLM:
         if self.cfg.see_init_state:
             return self.forward_see_init(params, states, position_ids, **kw)
         return self.forward(params, states, position_ids, **kw)
+
+    def predict_frame_diff(
+        self,
+        params: Params,
+        states: jnp.ndarray,
+        position_ids: jnp.ndarray,
+        frame_valid: jnp.ndarray,
+        frame_idx: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Rollout hot path: full-window backbone, *single-frame* decode.
+
+        The reference re-encodes the whole window and decodes every frame,
+        then keeps only the last prediction (``model.py:161-166``).  The
+        decoder acts per-frame, so decoding only ``frame_idx`` is exact and
+        saves the MLPGNN grid pass over all other window frames — the
+        dominant non-backbone cost at rollout time.
+
+        Returns the diff image for window frame ``frame_idx``: (bs, 3, X, Y).
+        """
+        cfg = self.cfg
+        bs, seq_len, n_patch = states.shape[:3]
+        if cfg.see_init_state:
+            states = jnp.concatenate([states[:, :1], states], axis=1)
+            position_ids = jnp.concatenate([position_ids[:, :1], position_ids], axis=1)
+            frame_valid = jnp.concatenate([frame_valid[:, :1], frame_valid], axis=1)
+            out_idx = frame_idx + 1  # drop the duplicated-frame prediction
+            seq_len += 1
+        else:
+            out_idx = frame_idx
+
+        h = input_embeddings_apply(
+            params["input_emb"], states, position_ids, cfg.encoder_params,
+            cfg.pos_embedding_params,
+        )
+        h = h.astype(self.backbone_cfg.dtype).reshape(bs, seq_len * n_patch, -1)
+        token_valid = jnp.repeat(frame_valid, n_patch, axis=1)
+        if cfg.use_bos_token:
+            bos = jnp.broadcast_to(
+                params["bos"].astype(h.dtype)[None, None, :], (bs, 1, h.shape[-1])
+            )
+            h = jnp.concatenate([bos, h], axis=1)
+            token_valid = jnp.concatenate([jnp.ones((bs, 1), bool), token_valid], axis=1)
+
+        out = bb.apply(
+            params["backbone"], self.backbone_cfg, h, token_valid,
+            lora=params.get("lora"), lora_cfg=cfg.lora_config,
+        )
+        if cfg.use_bos_token:
+            out = out[:, 1:]
+        tokens = out.reshape(bs, seq_len, n_patch, -1)
+        frame_tokens = jax.vmap(
+            lambda t, i: jax.lax.dynamic_index_in_dim(t, i, 0, keepdims=True)
+        )(tokens, jnp.broadcast_to(out_idx, (bs,)))  # (bs, 1, N, d)
+        preds = patch_decoder_apply(
+            params["decoder"], frame_tokens, self.ds_props, cfg.decoder_params
+        )
+        preds = jnp.transpose(preds[:, 0], (0, 3, 1, 2)).astype(jnp.float32)
+        return preds * cfg.diff_scale_factor

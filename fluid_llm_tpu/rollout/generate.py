@@ -74,14 +74,11 @@ def generate(
         frame_valid = jnp.arange(W)[None, :] < k
         frame_valid = jnp.broadcast_to(frame_valid, (bs, W))
 
-        diffs_img = model.forward_see_init(
-            params, buffer, wpos, frame_valid=frame_valid
-        ) if model.cfg.see_init_state else model.forward(
-            params, buffer, wpos, frame_valid=frame_valid
-        )
-        # prediction from the last valid frame (``model.py:163``)
-        last_img = jax.vmap(lambda d, kk: jax.lax.dynamic_index_in_dim(d, kk, 0, False))(
-            diffs_img, jnp.broadcast_to(k - 1, (bs,))
+        # full-window backbone, single-frame decode (exact; see
+        # ``FluidLLM.predict_frame_diff``) — prediction from the last valid
+        # frame (``model.py:163``)
+        last_img = model.predict_frame_diff(
+            params, buffer, wpos, frame_valid, k - 1
         )  # (bs, 3, X, Y)
         diffs = img_to_patch(last_img[:, None], model.ds_props)[:, 0]  # (bs, N, 3, px, py)
 
