@@ -1,0 +1,56 @@
+"""Resume training from a saved checkpoint.
+
+Equivalent of ``src/continue_train.py:22-76`` but without the hardcoded run
+folder/step: the run is selected by folder index (latest by default), the
+saved YAML is reread, model/optimizer state restored, and training re-enters
+the epoch loop at ``start_ep``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+import jax
+
+from fluid_llm_tpu.data import get_dataset
+from fluid_llm_tpu.train import checkpoint as ckpt
+from fluid_llm_tpu.train.loop import train_run
+from fluid_llm_tpu.train.trainer import Trainer
+from fluid_llm_tpu.models.fluid_llm import FluidLLM
+from fluid_llm_tpu.utils import set_seed
+
+logging.basicConfig(level=logging.INFO, format="[%(name)s:%(levelname)s] %(message)s")
+logger = logging.getLogger("fluid_llm_tpu.continue_train")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint_dir", default="model_checkpoints")
+    parser.add_argument("--load_no", type=int, default=-1)
+    parser.add_argument("--step", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    load_path = ckpt.get_save_folder(args.checkpoint_dir, args.load_no)
+    cfg = ckpt.load_config(load_path)
+    step = args.step if args.step is not None else ckpt.latest_step(load_path)
+    logger.info("Resuming from %s step_%s", load_path, step)
+
+    rng = set_seed(cfg.seed)
+    train_ds = get_dataset(cfg.replace(seq_len=cfg.autoreg_seq_len), mode="train")
+    valid_ds = get_dataset(cfg.replace(seq_len=cfg.val_seq_len), mode="valid")
+
+    model = FluidLLM.build(cfg, train_ds.ds_props())
+    trainer = Trainer(model)
+    like = trainer.init_state(jax.random.PRNGKey(0))
+    state = ckpt.restore_checkpoint(load_path, step, like)
+
+    train_run(
+        cfg, trainer, state, train_ds, valid_ds,
+        save_path=load_path, start_ep=state.epoch, rng=rng,
+    )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

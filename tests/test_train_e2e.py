@@ -1,0 +1,60 @@
+"""End-to-end: train -> checkpoint -> resume/restore -> inference rollout."""
+
+import jax
+import numpy as np
+
+from fluid_llm_tpu.inference import test_generate
+from fluid_llm_tpu.train import checkpoint as ckpt
+from fluid_llm_tpu.train.loop import train_run
+from fluid_llm_tpu.train.trainer import Trainer
+
+from test_model import tiny_setup
+
+
+def test_train_loop_checkpoint_restore_inference(tmp_path):
+    cfg, ds, props, model, batch = tiny_setup(seq_len=4, decoder="MLP")
+    cfg = cfg.replace(num_epochs=2, save_model_each=1, batch_size=2,
+                      checkpoint_save_path=str(tmp_path))
+    model = model.__class__(cfg=cfg, ds_props=model.ds_props, backbone_cfg=model.backbone_cfg)
+    trainer = Trainer(model)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    save_path = ckpt.make_save_folder(str(tmp_path), None)
+    logs = []
+    state = train_run(
+        cfg, trainer, state, ds, ds, save_path=save_path,
+        rng=jax.random.PRNGKey(1), log_fn=lambda m, e: logs.append((e, m)),
+    )
+    assert state.epoch == 2
+    assert any("val/Gen/N_RMSE" in m for _, m in logs)
+
+    # restore into a fresh state and verify leaves match
+    like = trainer.init_state(jax.random.PRNGKey(2))
+    restored = ckpt.restore_checkpoint(save_path, 1, like)
+    # restored epoch recorded
+    assert restored.epoch == 1
+    # saved config round-trips
+    cfg2 = ckpt.load_config(save_path)
+    assert cfg2.autoreg_seq_len == cfg.autoreg_seq_len
+
+    # inference protocol on the restored params (short rollout)
+    per_step, mean = test_generate(
+        model, restored.params, ds, batch_size=2, pred_steps=3, ctx_states=1
+    )
+    assert per_step.shape == (3,)
+    assert np.isfinite(mean)
+
+
+def test_training_reduces_loss():
+    cfg, ds, props, model, batch = tiny_setup(seq_len=4, decoder="MLP")
+    trainer = Trainer(model)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    losses = []
+    rng = jax.random.PRNGKey(3)
+    for i in range(12):
+        rng, sk = jax.random.split(rng)
+        state.trainable, state.opt_state, metrics = trainer.train_step_autoreg(
+            state.trainable, state.frozen, state.opt_state, batch, sk
+        )
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
