@@ -1,0 +1,331 @@
+"""Train / eval CLI for the EAGLE-benchmark baselines.
+
+Equivalent of ``eagle/train_{mgn,gat,graphvit,DilResNet}.py`` and
+``eagle/eval_{mgn,graphvit,DRN}.py`` as one entrypoint:
+
+    python -m fluid_llm_tpu.baselines_cli --model mgn --dataset_path ... \
+        --epoch 500 [--eval] [...]
+
+Protocol parity: Adam + ExponentialLR(0.991) stepped after epoch 1
+(``train_mgn.py:124-127,139-140``), masked MSE losses per model, fixed
+val/test windows, rollout eval scored by mesh->grid N-RMSE
+(``eagle_utils.py:89-130``) with cumulative per-step RMSE CSVs
+(``eval_graphvit.py:119-147``).  Checkpoints are Orbax trees under
+``trained_models/<model>/<name>`` (the reference saves bare ``.nn``
+state dicts, ``train_mgn.py:150-151``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import functools
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fluid_llm_tpu.data.eagle_mesh import (
+    EagleDroneDataset,
+    EagleMGNDataset,
+    collate_graphs,
+    iterate_graph_batches,
+)
+from fluid_llm_tpu.data.grid_images import GridImageDataset, iterate_image_batches
+from fluid_llm_tpu.models.baselines.dilresnet import (
+    dilresnet_apply,
+    dilresnet_init,
+    dilresnet_loss,
+)
+from fluid_llm_tpu.models.baselines.gat import gat_apply, gat_init
+from fluid_llm_tpu.models.baselines.graphvit import (
+    graphvit_apply,
+    graphvit_init,
+    graphvit_loss,
+)
+from fluid_llm_tpu.models.baselines.mgn import mgn_apply, mgn_init, mgn_loss
+from fluid_llm_tpu.train.eagle_eval import get_nrmse
+from fluid_llm_tpu.train.metrics import calc_n_rmse
+from fluid_llm_tpu.utils import set_seed
+
+logging.basicConfig(level=logging.INFO, format="[%(name)s:%(levelname)s] %(message)s")
+logger = logging.getLogger("fluid_llm_tpu.baselines")
+
+
+def _to_device(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def build_dataset(args, mode, window):
+    if args.model == "dilresnet":
+        from fluid_llm_tpu.data.synthetic import SyntheticCylinderDataset
+
+        if args.dataset_path == "synthetic":
+            src = SyntheticCylinderDataset(n_trajectories=4, resolution=args.resolution, mode=mode)
+        else:
+            from fluid_llm_tpu.data.cylinder import MGNDataset
+
+            src = MGNDataset(f"{args.dataset_path}/{mode}", resolution=args.resolution, mode=mode)
+        return GridImageDataset(src, window_length=window, mode=mode)
+    if args.dataset_path == "synthetic":
+        from fluid_llm_tpu.data.synthetic import SyntheticGraphDataset
+
+        return SyntheticGraphDataset(
+            n_trajectories=4, mode=mode, window_length=window,
+            n_cluster=args.n_cluster if args.model == "graphvit" else 0,
+        )
+    if "eagle" in args.dataset_path.lower():
+        return EagleDroneDataset(
+            args.dataset_path, mode=mode, window_length=window,
+            normalize=(args.model == "graphvit"),
+            with_cluster=(args.model == "graphvit"), n_cluster=args.n_cluster,
+        )
+    return EagleMGNDataset(
+        args.dataset_path, mode=mode, window_length=window,
+        normalize=(args.model == "graphvit"),
+        with_cluster=(args.model == "graphvit"), n_cluster=args.n_cluster,
+    )
+
+
+# -- per-model step functions -----------------------------------------------
+
+
+def make_graph_step(args, apply_fn, loss_fn, stateful_norm: bool):
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
+    def train_step(params, norm, opt_state, batch, rng, lr):
+        def loss(p):
+            if stateful_norm:
+                sh, oh, tgt, new_norm = apply_fn(
+                    p, norm, batch["mesh_pos"], batch["edges"].astype(jnp.int32),
+                    batch["state"], batch["node_type"], train=True,
+                    apply_noise=args.noise_std > 0, noise_std=args.noise_std, rng=rng,
+                )
+            else:
+                sh, oh, tgt = apply_fn(
+                    p, batch["mesh_pos"], batch["edges"].astype(jnp.int32),
+                    batch["state"], batch["node_type"], batch["cluster"],
+                    batch["cluster_mask"],
+                    apply_noise=args.noise_std > 0, noise_std=args.noise_std, rng=rng,
+                )
+                new_norm = norm
+            return loss_fn(oh, tgt, batch["mask"]), new_norm
+
+        (l, new_norm), grads = jax.value_and_grad(loss, has_aux=True)(params)
+        updates, opt_state = opt_update(grads, opt_state, lr, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_norm, opt_state, l
+
+    return train_step
+
+
+def opt_update(grads, opt_state, lr, params):
+    # Adam with an injectable lr (ExponentialLR handled host-side)
+    del params
+    opt = optax.scale_by_adam()
+    updates, inner = opt.update(grads, opt_state)
+    updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+    return updates, inner
+
+
+def run_graph_model(args):
+    rng = set_seed(1)
+    window_train, window_val = args.horizon_train, args.horizon_val
+    train_ds = build_dataset(args, "train", window_train)
+    valid_ds = build_dataset(args, "valid", window_val)
+
+    if args.model == "mgn":
+        params, norm = mgn_init(jax.random.PRNGKey(1), 4, args.n_processor)
+        apply_fn, loss_fn, stateful = mgn_apply, functools.partial(mgn_loss, w_pressure=args.w_pressure), True
+        ghost = 1
+    elif args.model == "gat":
+        params, norm = gat_init(jax.random.PRNGKey(1), 4, args.n_processor, args.n_heads)
+        apply_fn, loss_fn, stateful = gat_apply, functools.partial(mgn_loss, w_pressure=args.w_pressure), True
+        ghost = 1
+    else:  # graphvit
+        params = graphvit_init(jax.random.PRNGKey(1), 4, args.w_size)
+        norm = {}
+        apply_fn, loss_fn, stateful = graphvit_apply, functools.partial(graphvit_loss, alpha=args.alpha), False
+        ghost = 2
+
+    step = make_graph_step(args, apply_fn, loss_fn, stateful)
+    opt_state = optax.scale_by_adam().init(params)
+
+    save_dir = os.path.join(args.save_dir, args.model)
+    os.makedirs(save_dir, exist_ok=True)
+    lr = args.lr
+    for epoch in range(args.epoch):
+        for batch in iterate_graph_batches(
+            train_ds, args.batch_size, shuffle=True, seed=epoch, ghost_type_value=ghost
+        ):
+            rng, sk = jax.random.split(rng)
+            params, norm, opt_state, loss = step(
+                params, norm, opt_state, _to_device(batch), sk, jnp.float32(lr)
+            )
+        if epoch > 1:
+            lr *= 0.991  # ExponentialLR(0.991) (``train_mgn.py:126,139-140``)
+        val_loss = validate_graph(args, params, norm, valid_ds, apply_fn, loss_fn, stateful, ghost)
+        logger.info("=== EPOCH %d === loss=%.4g lr=%.3g", epoch + 1, val_loss, lr)
+        save_params(save_dir, args.name, params, norm)
+    if args.epoch == 0:
+        params, norm = load_params(save_dir, args.name, params, norm)
+    eval_graph(args, params, norm, apply_fn, stateful, ghost)
+
+
+def validate_graph(args, params, norm, ds, apply_fn, loss_fn, stateful, ghost):
+    tot, cpt = 0.0, 0
+    for batch in iterate_graph_batches(ds, args.batch_size, shuffle=False, ghost_type_value=ghost):
+        b = _to_device(batch)
+        if stateful:
+            sh, oh, tgt, _ = apply_fn(
+                params, norm, b["mesh_pos"], b["edges"].astype(jnp.int32),
+                b["state"], b["node_type"], train=False,
+            )
+        else:
+            sh, oh, tgt = apply_fn(
+                params, b["mesh_pos"], b["edges"].astype(jnp.int32),
+                b["state"], b["node_type"], b["cluster"], b["cluster_mask"],
+            )
+        tot += float(loss_fn(oh, tgt, b["mask"]))
+        cpt += b["mesh_pos"].shape[0]
+    return tot / max(cpt, 1)
+
+
+def eval_graph(args, params, norm, apply_fn, stateful, ghost):
+    """Long-window rollout + mesh->grid N-RMSE + per-step RMSE CSV
+    (``eval_mgn.py:29-68``, ``eval_graphvit.py:77-149``)."""
+    ds = build_dataset(args, "test", args.horizon_eval)
+    rows = []
+    for i in range(len(ds)):
+        sample = ds[i]
+        batch = _to_device(
+            collate_graphs(
+                [sample], sample.mesh_pos.shape[1], sample.edges.shape[0],
+                (sample.cluster.shape[1] if sample.cluster is not None else 1), ghost,
+            )
+        )
+        if stateful:
+            sh, _, _, _ = apply_fn(
+                params, norm, batch["mesh_pos"], batch["edges"].astype(jnp.int32),
+                batch["state"], batch["node_type"], train=False,
+            )
+        else:
+            sh, _, _ = apply_fn(
+                params, batch["mesh_pos"], batch["edges"].astype(jnp.int32),
+                batch["state"], batch["node_type"], batch["cluster"], batch["cluster_mask"],
+            )
+        n_real = sample.mesh_pos.shape[1]
+        nrmse = get_nrmse(
+            np.asarray(batch["state"])[:, :, :n_real],
+            np.asarray(sh)[:, :, :n_real],
+            sample.mesh_pos[0], sample.faces, resolution=args.resolution,
+        )
+        rows.append(nrmse[0])
+        logger.info("traj %d N-RMSE mean %.4g", i, float(nrmse.mean()))
+    per_step = np.stack(rows).mean(axis=0)
+    logger.info("Overall N-RMSE: %.4g", float(per_step.mean()))
+    csv_path = os.path.join(args.save_dir, args.model, f"{args.name}_nrmse.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["step", "n_rmse"])
+        for s, v in enumerate(per_step):
+            w.writerow([s, float(v)])
+    logger.info("wrote %s", csv_path)
+
+
+def run_dilresnet(args):
+    rng = set_seed(1)
+    train_ds = build_dataset(args, "train", args.horizon_train)
+    valid_ds = build_dataset(args, "valid", args.horizon_val)
+    params = dilresnet_init(jax.random.PRNGKey(1), channels=3)
+    opt_state = optax.scale_by_adam().init(params)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, state, mask, rng, lr):
+        def loss(p):
+            sh, delta, target = dilresnet_apply(
+                p, state, mask, apply_noise=args.noise_std > 0,
+                noise_std=args.noise_std, rng=rng,
+            )
+            return dilresnet_loss(delta, target)
+
+        l, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state = opt_update(grads, opt_state, lr, params)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    save_dir = os.path.join(args.save_dir, "dilresnet")
+    os.makedirs(save_dir, exist_ok=True)
+    lr = args.lr
+    for epoch in range(args.epoch):
+        for state, mask in iterate_image_batches(train_ds, args.batch_size, shuffle=True, seed=epoch):
+            rng, sk = jax.random.split(rng)
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(state), jnp.asarray(mask), sk, jnp.float32(lr)
+            )
+        if epoch > 1:
+            lr *= 0.991
+        logger.info("=== EPOCH %d === loss=%.4g", epoch + 1, float(loss))
+        save_params(save_dir, args.name, params, {})
+    if args.epoch == 0:
+        params, _ = load_params(save_dir, args.name, params, {})
+
+    # eval: grid rollout + calc_n_rmse (``eval_DRN.py:43-88``)
+    test_ds = build_dataset(args, "test", args.horizon_eval)
+    rows = []
+    for state, mask in iterate_image_batches(test_ds, 1, shuffle=False):
+        sh, delta, target = dilresnet_apply(params, jnp.asarray(state), jnp.asarray(mask))
+        pred = jnp.moveaxis(sh, -1, 2)  # (B, T, C, H, W)
+        true = jnp.moveaxis(jnp.asarray(state), -1, 2)
+        m = jnp.broadcast_to(jnp.asarray(mask)[:, :, None], true.shape)
+        rows.append(np.asarray(calc_n_rmse(pred, true, m))[0])
+    per_step = np.stack(rows).mean(axis=0)
+    logger.info("DilResNet overall N-RMSE: %.4g", float(per_step.mean()))
+
+
+def save_params(save_dir, name, params, norm):
+    import pickle
+
+    with open(os.path.join(save_dir, f"{name}.pkl"), "wb") as f:
+        pickle.dump(jax.device_get({"params": params, "norm": norm}), f)
+
+
+def load_params(save_dir, name, params_like, norm_like):
+    import pickle
+
+    with open(os.path.join(save_dir, f"{name}.pkl"), "rb") as f:
+        payload = pickle.load(f)
+    return payload["params"], payload["norm"]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", choices=["mgn", "gat", "graphvit", "dilresnet"], required=True)
+    parser.add_argument("--epoch", type=int, default=500)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--dataset_path", default="synthetic")
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--w_pressure", type=float, default=0.1)
+    parser.add_argument("--alpha", type=float, default=0.1)
+    parser.add_argument("--horizon_val", type=int, default=5)
+    parser.add_argument("--horizon_train", type=int, default=5)
+    parser.add_argument("--horizon_eval", type=int, default=101)
+    parser.add_argument("--n_processor", type=int, default=15)
+    parser.add_argument("--n_heads", type=int, default=4)
+    parser.add_argument("--n_cluster", type=int, default=10)
+    parser.add_argument("--w_size", type=int, default=512)
+    parser.add_argument("--noise_std", type=float, default=2e-2)
+    parser.add_argument("--resolution", type=int, default=238)
+    parser.add_argument("--name", default="run")
+    parser.add_argument("--save_dir", default="trained_models")
+    args = parser.parse_args(argv)
+
+    if args.model == "dilresnet":
+        run_dilresnet(args)
+    else:
+        run_graph_model(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,279 @@
+"""Graph datasets for the EAGLE-benchmark baselines + static-shape collate.
+
+Equivalents of ``eagle/Dataloader/MGN.py`` (cylinder/airfoil pkl graphs),
+``eagle/Dataloader/eagle.py`` (EAGLE drone npz) and the ghost-node padding
+collates (``eagle/train_mgn.py:32-59``, ``eagle/train_graphvit.py:34-76``).
+
+TPU-first: instead of padding each batch to *its* max (dynamic shapes ->
+recompiles), the collate pads to dataset-wide bucket sizes so every batch
+compiles once.  Ghost nodes sit at index ``N_max`` (one extra slot), ghost
+edges point at that slot, and the real-node ``mask`` excludes ghosts from
+losses — exactly the reference's masking semantics with static shapes.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import re
+from dataclasses import dataclass, field
+from typing import Iterator, Optional
+
+import numpy as np
+
+# node-type codes (``eagle/Dataloader/MGN.py:10-14``)
+NODE_NORMAL = 0
+NODE_INPUT = 4
+NODE_OUTPUT = 5
+NODE_WALL = 6
+NODE_DISABLE = 2
+
+# fixed normalization stats, exactly as written in the reference — note the
+# cylinder velocity/pressure stats appear swapped upstream
+# (``MGN.py:108-123``); reproduced verbatim for parity.
+MGN_PRESSURE_MEAN, MGN_PRESSURE_STD = (0.8845, -0.0002054), (0.5875, 0.1286)
+MGN_VELOCITY_MEAN, MGN_VELOCITY_STD = (0.04064, 0.04064), (0.2924, 0.2924)
+# EAGLE (``eagle.py:99-113``)
+EAGLE_PRESSURE_MEAN, EAGLE_PRESSURE_STD = (-0.8322, 4.6050), (7.4013, 9.7232)
+EAGLE_VELOCITY_MEAN, EAGLE_VELOCITY_STD = (-0.0015, 0.2211), (1.7970, 2.0258)
+
+
+def natsorted(items):
+    return sorted(items, key=lambda s: [int(c) if c.isdigit() else c for c in re.split(r"(\d+)", s)])
+
+
+def faces_to_edges(faces: np.ndarray) -> np.ndarray:
+    """Triangles -> unique undirected edges, both directions
+    (``MGN.py:163-174``).  faces: (F, 3) -> (E, 2) int32."""
+    edges = np.concatenate([faces[:, :2], faces[:, 1:], faces[:, ::2]], axis=0)
+    senders = edges.max(axis=-1)
+    receivers = edges.min(axis=-1)
+    packed = np.stack([senders, receivers], axis=-1)
+    unique = np.unique(packed, axis=0)
+    return np.concatenate([unique, unique[:, ::-1]], axis=0).astype(np.int32)
+
+
+@dataclass
+class GraphSample:
+    """One trajectory window, un-padded."""
+
+    mesh_pos: np.ndarray  # (T, N, 2)
+    edges: np.ndarray  # (E, 2) static topology
+    state: np.ndarray  # (T, N, 4) = [Vx, Vy, P, P]
+    node_type: np.ndarray  # (T, N, 9) one-hot
+    cluster: Optional[np.ndarray] = None  # (T, C, K) int, -1 padded
+    faces: Optional[np.ndarray] = None
+
+
+def one_hot9(node_type: np.ndarray) -> np.ndarray:
+    return np.eye(9, dtype=np.int32)[np.clip(node_type, 0, 8)]
+
+
+class EagleMGNDataset:
+    """Cylinder/airfoil pkl graphs (``eagle/Dataloader/MGN.py:17-137``)."""
+
+    def __init__(
+        self,
+        data_path: str,
+        mode: str = "train",
+        window_length: int = 5,
+        normalize: bool = False,
+        with_cluster: bool = False,
+        n_cluster: int = 10,
+        seed: int = 1,
+        max_steps: int = 600,
+    ):
+        assert mode in ("train", "valid", "test")
+        self.fn = os.path.join(data_path, mode)
+        self.files = natsorted(
+            [os.path.join(r, f) for r, _, fs in os.walk(self.fn) for f in fs if f.endswith(".pkl")]
+        )
+        if not self.files:
+            raise FileNotFoundError(f"No .pkl files under {self.fn}")
+        self.mode = mode
+        self.window_length = window_length
+        self.normalize = normalize
+        self.with_cluster = with_cluster
+        self.n_cluster = n_cluster
+        self.max_steps = max_steps
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.files)
+
+    def _window_start(self) -> int:
+        if self.window_length == self.max_steps:
+            return 0
+        if self.mode != "train":
+            return 100  # fixed val/test start (``MGN.py:141-144``)
+        return int(self._rng.integers(0, self.max_steps - self.window_length + 1))
+
+    def __getitem__(self, item: int) -> GraphSample:
+        with open(self.files[item], "rb") as f:
+            data = pickle.load(f)
+        t = self._window_start()
+        T = self.window_length
+        pos = np.asarray(data["mesh_pos"], np.float32)
+        faces = np.asarray(data["cells"], np.int64)
+        node_type = np.asarray(data["node_type"]).squeeze()
+        vel = np.asarray(data["velocity"], np.float32)[t:t + T]
+        press = np.asarray(data["pressure"], np.float32)[t:t + T]
+        press = np.repeat(press, 2, axis=-1)  # (``MGN.py:154``)
+
+        if self.normalize:
+            vel = (vel - MGN_VELOCITY_MEAN) / MGN_VELOCITY_STD
+            press = (press - MGN_PRESSURE_MEAN) / MGN_PRESSURE_STD
+
+        state = np.concatenate([vel, press], axis=-1)
+        nt = np.repeat(one_hot9(node_type)[None], T, axis=0)
+        mesh_pos = np.repeat(pos[None], T, axis=0)
+        edges = faces_to_edges(faces)
+
+        cluster = None
+        if self.with_cluster:
+            save_name = os.path.basename(self.files[item])[:-4]
+            cpath = os.path.join(self.fn, f"constrained_kmeans_{self.n_cluster}_{save_name}.npy")
+            cluster = np.load(cpath, mmap_mode="r")[t:t + T].copy().astype(np.int64)
+        return GraphSample(mesh_pos=mesh_pos, edges=edges, state=state, node_type=nt,
+                           cluster=cluster, faces=faces)
+
+
+class EagleDroneDataset:
+    """EAGLE drone npz trajectories (``eagle/Dataloader/eagle.py:15-140``):
+    per-step point clouds + triangles, state = [Vx, Vy, Ps, Pg]."""
+
+    def __init__(
+        self,
+        data_path: str,
+        mode: str = "train",
+        window_length: int = 990,
+        normalize: bool = False,
+        with_cluster: bool = False,
+        n_cluster: int = 20,
+        seed: int = 1,
+    ):
+        assert mode in ("train", "valid", "test")
+        self.fn = data_path
+        self.dataloc = natsorted(
+            [os.path.join(r, f)[:-8] for r, _, fs in os.walk(self.fn) for f in fs if f.endswith("sim.npz")]
+        )
+        if not self.dataloc:
+            raise FileNotFoundError(f"No sim.npz under {self.fn}")
+        self.mode = mode
+        self.window_length = window_length
+        self.normalize = normalize
+        self.with_cluster = with_cluster
+        self.n_cluster = n_cluster
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.dataloc)
+
+    def __getitem__(self, item: int) -> GraphSample:
+        path = self.dataloc[item]
+        T = self.window_length
+        t = 0 if T == 990 else int(self._rng.integers(0, 990 - T + 1))
+        if self.mode != "train" and T != 990:
+            t = 100
+        data = np.load(os.path.join(path, "sim.npz"), mmap_mode="r")
+        mesh_pos = np.asarray(data["pointcloud"][t:t + T], np.float32)
+        cells = np.load(os.path.join(path, "triangles.npy"))[t:t + T]
+        vel = np.stack([data["VX"][t:t + T], data["VY"][t:t + T]], axis=-1).astype(np.float32)
+        press = np.stack([data["PS"][t:t + T], data["PG"][t:t + T]], axis=-1).astype(np.float32)
+        node_type = np.asarray(data["mask"][t:t + T]).astype(np.int64)
+
+        if self.normalize:
+            vel = (vel - EAGLE_VELOCITY_MEAN) / EAGLE_VELOCITY_STD
+            press = (press - EAGLE_PRESSURE_MEAN) / EAGLE_PRESSURE_STD
+
+        state = np.concatenate([vel, press], axis=-1)
+        nt = one_hot9(node_type)
+        # EAGLE meshes change per step; use the first step's topology for the
+        # static edge list (matching the per-window treatment upstream)
+        edges = faces_to_edges(np.asarray(cells[0], np.int64))
+        cluster = None
+        if self.with_cluster:
+            cpath = os.path.join(path, f"constrained_kmeans_{self.n_cluster}.npy")
+            cluster = np.load(cpath, mmap_mode="r")[t:t + T].copy().astype(np.int64)
+        return GraphSample(mesh_pos=mesh_pos, edges=edges, state=state, node_type=nt,
+                           cluster=cluster, faces=np.asarray(cells[0]))
+
+
+# -- static-shape collate ----------------------------------------------------
+
+
+def bucket_sizes(samples: list[GraphSample]) -> tuple[int, int, int]:
+    n = max(s.mesh_pos.shape[1] for s in samples)
+    e = max(s.edges.shape[0] for s in samples)
+    c = max((s.cluster.shape[1] if s.cluster is not None else 1) for s in samples)
+    return n, e, c
+
+
+def collate_graphs(
+    samples: list[GraphSample],
+    n_max: int,
+    e_max: int,
+    c_max: int = 1,
+    ghost_type_value: int = 1,
+) -> dict[str, np.ndarray]:
+    """Ghost-pad to (n_max+1) nodes / (e_max+1) edges / c_max clusters.
+
+    Mirrors ``train_mgn.py:32-59`` / ``train_graphvit.py:34-76``: ghost nodes
+    get zero state and ``ghost_type_value`` in every one-hot slot (all-ones
+    marks them INPUT+WALL so BC forcing pins them; the GraphViT collate's
+    all-twos leaves them to the loss mask), ghost edges self-loop on the
+    ghost slot, cluster ids -1 -> ghost slot with mask 0.
+    """
+    B = len(samples)
+    T = samples[0].state.shape[0]
+    S = samples[0].state.shape[-1]
+    Np, Ep = n_max + 1, e_max + 1
+
+    out = {
+        "mesh_pos": np.zeros((B, T, Np, 2), np.float32),
+        "edges": np.full((B, T, Ep, 2), n_max, np.int32),
+        "state": np.zeros((B, T, Np, S), np.float32),
+        "node_type": np.full((B, T, Np, 9), ghost_type_value, np.int32),
+        "mask": np.zeros((B, T, Np), np.float32),
+        "cluster": np.full((B, T, c_max, 1), n_max, np.int64),
+        "cluster_mask": np.zeros((B, T, c_max, 1), np.float32),
+    }
+    k_max = max((s.cluster.shape[-1] if s.cluster is not None else 1) for s in samples)
+    out["cluster"] = np.full((B, T, c_max, k_max), n_max, np.int64)
+    out["cluster_mask"] = np.zeros((B, T, c_max, k_max), np.float32)
+
+    for b, s in enumerate(samples):
+        N = s.mesh_pos.shape[1]
+        E = s.edges.shape[0]
+        out["mesh_pos"][b, :, :N] = s.mesh_pos
+        out["state"][b, :, :N] = s.state
+        out["node_type"][b, :, :N] = s.node_type
+        out["edges"][b, :, :E] = s.edges[None]
+        out["mask"][b, :, :N] = 1.0
+        if s.cluster is not None:
+            C, K = s.cluster.shape[1:]
+            cl = s.cluster.copy()
+            cm = (cl != -1).astype(np.float32)
+            cl[cl == -1] = n_max
+            out["cluster"][b, :, :C, :K] = cl
+            out["cluster_mask"][b, :, :C, :K] = cm
+    return out
+
+
+def iterate_graph_batches(
+    dataset, batch_size: int, *, shuffle: bool, seed: int = 0,
+    ghost_type_value: int = 1,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Batch iterator with dataset-wide bucket sizes (one XLA compile)."""
+    probe = [dataset[i] for i in range(min(len(dataset), 4))]
+    n_max, e_max, c_max = bucket_sizes(probe)
+    # headroom for unprobed trajectories
+    n_max, e_max = int(n_max * 1.1) + 8, int(e_max * 1.1) + 8
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    for i in range(0, len(order), batch_size):
+        samples = [dataset[int(j)] for j in order[i:i + batch_size]]
+        ns, es, cs = bucket_sizes(samples)
+        n_max, e_max, c_max = max(n_max, ns), max(e_max, es), max(c_max, cs)
+        yield collate_graphs(samples, n_max, e_max, c_max, ghost_type_value)

@@ -58,6 +58,81 @@ def analytic_flow(pos: np.ndarray, n_steps: int, seed: int) -> np.ndarray:
     return np.stack([vx, vy, p], axis=1).astype(np.float32)  # (T, 3, N)
 
 
+class SyntheticGraphDataset:
+    """Graph-format synthetic trajectories for the EAGLE-baseline pipeline.
+
+    Mirrors ``EagleMGNDataset``'s sample structure (state = [Vx, Vy, P, P],
+    one-hot node types, bidirectional edges) using the same generated meshes
+    and analytic flow as :class:`SyntheticCylinderDataset`.
+    """
+
+    def __init__(
+        self,
+        n_trajectories: int = 4,
+        mode: str = "train",
+        window_length: int = 5,
+        mesh_nodes: tuple[int, int] = (24, 10),
+        max_steps: int = 200,
+        n_cluster: int = 0,
+        seed: int = 1234,
+    ):
+        from fluid_llm_tpu.data.eagle_mesh import GraphSample, faces_to_edges, one_hot9
+
+        self._GraphSample = GraphSample
+        self._faces_to_edges = faces_to_edges
+        self._one_hot9 = one_hot9
+        self.n_trajectories = n_trajectories
+        self.mode = mode
+        self.window_length = window_length
+        self.mesh_nodes = mesh_nodes
+        self.max_steps = max_steps
+        self.n_cluster = n_cluster
+        self.base_seed = seed
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return self.n_trajectories
+
+    def __getitem__(self, item: int):
+        from fluid_llm_tpu.data.eagle_mesh import NODE_INPUT, NODE_NORMAL, NODE_OUTPUT, NODE_WALL
+
+        pos, faces = make_cylinder_mesh(self.base_seed + item, *self.mesh_nodes)
+        states = analytic_flow(pos, self.max_steps, self.base_seed + item)  # (T, 3, N)
+
+        T = self.window_length
+        t0 = 100 if self.mode != "train" else int(
+            self._rng.integers(0, self.max_steps - T + 1)
+        )
+        t0 = min(t0, self.max_steps - T)
+        window = states[t0:t0 + T].transpose(0, 2, 1)  # (T, N, 3)
+        vel = window[..., :2]
+        press = np.repeat(window[..., 2:], 2, axis=-1)
+        state = np.concatenate([vel, press], axis=-1).astype(np.float32)
+
+        node_type = np.full(len(pos), NODE_NORMAL, np.int64)
+        node_type[pos[:, 0] <= pos[:, 0].min()] = NODE_INPUT
+        node_type[pos[:, 0] >= pos[:, 0].max()] = NODE_OUTPUT
+        node_type[(pos[:, 1] <= pos[:, 1].min()) | (pos[:, 1] >= pos[:, 1].max())] = NODE_WALL
+
+        cluster = None
+        if self.n_cluster > 0:
+            from fluid_llm_tpu.tools.clusterize import constrained_kmeans
+
+            cl = constrained_kmeans(pos, self.n_cluster, seed=self.base_seed + item)
+            cluster = np.repeat(cl[None], T, axis=0)
+
+        nt = np.repeat(self._one_hot9(node_type)[None], T, axis=0)
+        mesh_pos = np.repeat(pos.astype(np.float32)[None], T, axis=0)
+        return self._GraphSample(
+            mesh_pos=mesh_pos,
+            edges=self._faces_to_edges(faces.astype(np.int64)),
+            state=state,
+            node_type=nt,
+            cluster=cluster,
+            faces=faces,
+        )
+
+
 class SyntheticCylinderDataset(PatchDataset):
     """Drop-in stand-in for ``MGNDataset`` backed by generated trajectories."""
 

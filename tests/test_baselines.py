@@ -1,0 +1,202 @@
+"""EAGLE-baseline models: component parity vs torch oracles + integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+import torch
+
+from fluid_llm_tpu.data.eagle_mesh import collate_graphs, faces_to_edges
+from fluid_llm_tpu.data.synthetic import SyntheticGraphDataset
+from fluid_llm_tpu.models.baselines import base as B
+from fluid_llm_tpu.models.baselines.dilresnet import (
+    dilresnet_apply,
+    dilresnet_init,
+    dilresnet_loss,
+)
+from fluid_llm_tpu.models.baselines.gat import gat_apply, gat_init
+from fluid_llm_tpu.models.baselines.graphvit import (
+    graphvit_apply,
+    graphvit_init,
+    graphvit_loss,
+    gru_init,
+    gru_scan,
+    mha_apply,
+    mha_init,
+)
+from fluid_llm_tpu.models.baselines.mgn import mgn_apply, mgn_init, mgn_loss
+from fluid_llm_tpu.tools.clusterize import constrained_kmeans
+
+
+def graph_batch(n_traj=2, window=3, n_cluster=0):
+    ds = SyntheticGraphDataset(n_trajectories=n_traj, window_length=window,
+                               n_cluster=n_cluster, mode="valid")
+    samples = [ds[i] for i in range(n_traj)]
+    n = max(s.mesh_pos.shape[1] for s in samples)
+    e = max(s.edges.shape[0] for s in samples)
+    c = max((s.cluster.shape[1] if s.cluster is not None else 1) for s in samples)
+    batch = collate_graphs(samples, n, e, c, ghost_type_value=1)
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def test_normalizer_matches_torch_reference(rng):
+    """Running-stat arithmetic parity incl. the mean-of-means quirk."""
+    state = B.normalizer_init(3, init_std=1.0)
+    acc = torch.zeros(3)
+    acc_sq = torch.zeros(3)
+    count = 0
+    mean, std = torch.zeros(3), torch.ones(3)
+    for i in range(4):
+        x = rng.normal(size=(2, 5, 3)).astype(np.float32) * (i + 1)
+        out, state = B.normalizer_apply(state, jnp.asarray(x), update=True)
+        t = torch.from_numpy(x)
+        count += t.shape[0]
+        acc += t.mean(dim=(0, 1))
+        acc_sq += (t**2).mean(dim=(0, 1))
+        mean = acc / (count + 1e-8)
+        std = torch.sqrt(acc_sq / (count + 1e-8) - mean**2)
+        ref = (t - mean) / (std + 1e-8)
+        np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-5)
+    # eval mode: stats frozen
+    x = rng.normal(size=(2, 5, 3)).astype(np.float32)
+    out, state2 = B.normalizer_apply(state, jnp.asarray(x), update=False)
+    np.testing.assert_allclose(
+        np.asarray(out), ((torch.from_numpy(x) - mean) / (std + 1e-8)).numpy(), atol=1e-5
+    )
+    inv = B.normalizer_inverse(state, out)
+    np.testing.assert_allclose(np.asarray(inv), x, atol=1e-5)
+
+
+def test_gru_matches_torch(rng):
+    tg = torch.nn.GRU(input_size=6, hidden_size=8, batch_first=True)
+    p = gru_init(jax.random.PRNGKey(0), 6, 8)
+    p["w_ih"] = jnp.asarray(tg.weight_ih_l0.detach().numpy().T)
+    p["w_hh"] = jnp.asarray(tg.weight_hh_l0.detach().numpy().T)
+    p["b_ih"] = jnp.asarray(tg.bias_ih_l0.detach().numpy())
+    p["b_hh"] = jnp.asarray(tg.bias_hh_l0.detach().numpy())
+    x = rng.normal(size=(3, 7, 6)).astype(np.float32)
+    ours = gru_scan(p, jnp.asarray(x), 8)
+    ref, _ = tg(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(ours), ref.detach().numpy(), atol=1e-5)
+
+
+def test_mha_matches_torch(rng):
+    E, H = 16, 4
+    tm = torch.nn.MultiheadAttention(embed_dim=E, num_heads=H, batch_first=True)
+    p = mha_init(jax.random.PRNGKey(0), E)
+    p["in_w"] = jnp.asarray(tm.in_proj_weight.detach().numpy().T)
+    p["in_b"] = jnp.asarray(tm.in_proj_bias.detach().numpy())
+    p["out"] = {
+        "w": jnp.asarray(tm.out_proj.weight.detach().numpy().T),
+        "b": jnp.asarray(tm.out_proj.bias.detach().numpy()),
+    }
+    x = rng.normal(size=(2, 5, E)).astype(np.float32)
+    mask = rng.random((2, 5, 5)) < 0.2
+    np.fill_diagonal(mask[0], False)
+    np.fill_diagonal(mask[1], False)
+    ours = mha_apply(p, jnp.asarray(x), jnp.asarray(mask), H)
+    tmask = torch.from_numpy(np.repeat(mask, H, axis=0))
+    ref, _ = tm(torch.from_numpy(x), torch.from_numpy(x), torch.from_numpy(x),
+                attn_mask=tmask)
+    np.testing.assert_allclose(np.asarray(ours), ref.detach().numpy(), atol=1e-5)
+
+
+def test_mgn_forward_and_training_step():
+    batch = graph_batch()
+    params, norm = mgn_init(jax.random.PRNGKey(0), state_size=4, n_processor=3)
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, norm, opt_state, rng):
+        def loss_fn(p):
+            sh, oh, tgt, new_norm = mgn_apply(
+                p, norm, batch["mesh_pos"], batch["edges"].astype(jnp.int32),
+                batch["state"], batch["node_type"], train=True,
+                apply_noise=False,
+            )
+            return mgn_loss(oh, tgt, batch["mask"]), (sh, new_norm)
+
+        (loss, (sh, new_norm)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), new_norm, opt_state, loss, sh
+
+    losses = []
+    rng = jax.random.PRNGKey(1)
+    for i in range(10):
+        rng, sk = jax.random.split(rng)
+        params, norm, opt_state, loss, sh = step(params, norm, opt_state, sk)
+        losses.append(float(loss))
+        assert np.isfinite(losses[-1])
+    assert sh.shape == batch["state"].shape
+    # normalizer stats keep drifting, so compare averaged windows
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+    assert float(norm["output"]["count"]) > 0
+
+
+def test_gat_forward():
+    batch = graph_batch()
+    params, norm = gat_init(jax.random.PRNGKey(0), state_size=4, n_processor=2)
+    sh, oh, tgt, _ = gat_apply(
+        params, norm, batch["mesh_pos"], batch["edges"].astype(jnp.int32),
+        batch["state"], batch["node_type"], train=True,
+    )
+    assert sh.shape == batch["state"].shape
+    assert np.isfinite(np.asarray(sh)).all()
+
+
+def test_graphvit_forward_and_loss():
+    batch = graph_batch(n_cluster=10)
+    params = graphvit_init(jax.random.PRNGKey(0), state_size=4, w_size=32,
+                           n_attention=2, nb_gn=2, n_heads=4)
+    sh, oh, tgt = graphvit_apply(
+        params, batch["mesh_pos"], batch["edges"].astype(jnp.int32),
+        batch["state"], batch["node_type"], batch["cluster"],
+        batch["cluster_mask"],
+    )
+    assert sh.shape == batch["state"].shape
+    assert np.isfinite(np.asarray(sh)).all()
+    loss = graphvit_loss(oh, tgt, batch["mask"])
+    assert np.isfinite(float(loss))
+
+
+def test_dilresnet_forward_and_loss(rng):
+    params = dilresnet_init(jax.random.PRNGKey(0), channels=3, n_block=2, hidden=8)
+    state = jnp.asarray(rng.normal(size=(2, 4, 24, 16, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.random((2, 4, 24, 16)) < 0.2)
+    sh, delta, target = dilresnet_apply(params, state, mask)
+    assert sh.shape == state.shape
+    assert delta.shape == (2, 3, 24, 16, 3)
+    assert np.isfinite(float(dilresnet_loss(delta, target)))
+    # BC forcing: masked pixels equal ground truth
+    m = np.asarray(mask[:, 1:])
+    np.testing.assert_allclose(
+        np.asarray(sh[:, 1:])[m], np.asarray(state[:, 1:])[m], atol=1e-6
+    )
+
+
+def test_constrained_kmeans_constraints(rng):
+    pts = rng.normal(size=(83, 2))
+    cap = 10
+    clusters = constrained_kmeans(pts, cap, seed=0)
+    members = clusters[clusters >= 0]
+    # every point in exactly one cluster
+    assert sorted(members.tolist()) == list(range(83))
+    # capacity respected
+    assert clusters.shape[1] == cap
+    assert ((clusters >= 0).sum(axis=1) <= cap).all()
+
+
+def test_eagle_nrmse_zero_for_identical():
+    from fluid_llm_tpu.data.synthetic import analytic_flow, make_cylinder_mesh
+    from fluid_llm_tpu.train.eagle_eval import get_nrmse
+
+    pos, faces = make_cylinder_mesh(3, 16, 8)
+    states = analytic_flow(pos, 6, 3).transpose(0, 2, 1)[None]  # (1, T, N, 3)
+    nrmse = get_nrmse(states, states, pos, faces, resolution=48)
+    assert nrmse.shape == (1, 6)
+    np.testing.assert_allclose(nrmse, 0.0, atol=1e-6)
+    nrmse2 = get_nrmse(states, states * 1.1, pos, faces, resolution=48)
+    assert (nrmse2 > 0).all()
