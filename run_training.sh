@@ -1,0 +1,6 @@
+#!/usr/bin/env bash
+# Train FLUID-LLM-TPU (equivalent of the reference run_training.sh).
+# A single process drives all local TPU devices via the mesh in the config;
+# bf16 comes from half_precision in the YAML.
+set -e
+python -m fluid_llm_tpu.main --config_path "${1:-configs/training1.yaml}"

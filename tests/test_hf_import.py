@@ -1,0 +1,123 @@
+"""Backbone forward parity vs HF transformers after weight conversion.
+
+Builds *randomly initialised* HF models from config (no network needed),
+converts their state dicts with ``models/hf_import.py`` and checks the JAX
+backbone reproduces ``last_hidden_state`` on an ``inputs_embeds`` input —
+exactly the path the reference drives (``src/models/model.py:141-146``).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from fluid_llm_tpu.models import backbone as bb
+from fluid_llm_tpu.models.hf_import import convert_state_dict
+
+
+def _to_jax(params):
+    import jax
+
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+@pytest.fixture(scope="module")
+def embeds(rng=None):
+    r = np.random.default_rng(0)
+    return r.normal(size=(2, 9, 32)).astype(np.float32) * 0.3
+
+
+def test_opt_parity(embeds):
+    from transformers import OPTConfig, OPTModel
+
+    torch.manual_seed(0)
+    hf = OPTModel(
+        OPTConfig(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            ffn_dim=64, max_position_embeddings=64, vocab_size=100,
+            word_embed_proj_dim=32, dropout=0.0, do_layer_norm_before=True,
+            activation_function="relu",
+        )
+    ).eval()
+    cfg = bb.BackboneConfig(
+        family="opt", n_layers=2, d_model=32, n_heads=4, d_ff=64,
+        max_pos=64, vocab_size=100, act="relu", pos="learned", pos_offset=2,
+        dropout=0.0, attn_impl="xla",
+    )
+    params, embed_tokens = convert_state_dict(hf.state_dict(), cfg)
+    assert embed_tokens.shape == (100, 32)
+
+    with torch.no_grad():
+        ref = hf(inputs_embeds=torch.from_numpy(embeds)).last_hidden_state.numpy()
+    ours = np.asarray(bb.apply(_to_jax(params), cfg, jnp.asarray(embeds)))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_gpt2_parity(embeds):
+    from transformers import GPT2Config, GPT2Model
+
+    torch.manual_seed(0)
+    hf = GPT2Model(
+        GPT2Config(
+            n_embd=32, n_layer=2, n_head=4, n_inner=64, n_positions=64,
+            vocab_size=100, resid_pdrop=0.0, attn_pdrop=0.0, embd_pdrop=0.0,
+        )
+    ).eval()
+    cfg = bb.BackboneConfig(
+        family="gpt2", n_layers=2, d_model=32, n_heads=4, d_ff=64,
+        max_pos=64, vocab_size=100, act="gelu_new", pos="learned",
+        dropout=0.0, attn_impl="xla",
+    )
+    params, _ = convert_state_dict(hf.state_dict(), cfg)
+    with torch.no_grad():
+        ref = hf(inputs_embeds=torch.from_numpy(embeds)).last_hidden_state.numpy()
+    ours = np.asarray(bb.apply(_to_jax(params), cfg, jnp.asarray(embeds)))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_llama_parity(embeds):
+    from transformers import LlamaConfig, LlamaModel
+
+    torch.manual_seed(0)
+    hf = LlamaModel(
+        LlamaConfig(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, intermediate_size=64, vocab_size=100,
+            max_position_embeddings=64, rms_norm_eps=1e-6,
+            attention_dropout=0.0,
+        )
+    ).eval()
+    cfg = bb.BackboneConfig(
+        family="llama", n_layers=2, d_model=32, n_heads=4, d_ff=64,
+        max_pos=64, vocab_size=100, act="silu", norm="rmsnorm", pos="rope",
+        ln_eps=1e-6, dropout=0.0, attn_impl="xla",
+    )
+    params, _ = convert_state_dict(hf.state_dict(), cfg)
+    with torch.no_grad():
+        ref = hf(inputs_embeds=torch.from_numpy(embeds)).last_hidden_state.numpy()
+    ours = np.asarray(bb.apply(_to_jax(params), cfg, jnp.asarray(embeds)))
+    np.testing.assert_allclose(ours, ref, atol=3e-5)
+
+
+def test_llama_gqa_parity(embeds):
+    """Grouped-query attention path (n_kv_heads < n_heads)."""
+    from transformers import LlamaConfig, LlamaModel
+
+    torch.manual_seed(0)
+    hf = LlamaModel(
+        LlamaConfig(
+            hidden_size=32, num_hidden_layers=1, num_attention_heads=4,
+            num_key_value_heads=2, intermediate_size=64, vocab_size=100,
+            max_position_embeddings=64, rms_norm_eps=1e-6,
+        )
+    ).eval()
+    cfg = bb.BackboneConfig(
+        family="llama", n_layers=1, d_model=32, n_heads=4, n_kv_heads=2,
+        d_ff=64, max_pos=64, vocab_size=100, act="silu", norm="rmsnorm",
+        pos="rope", ln_eps=1e-6, dropout=0.0, attn_impl="xla",
+    )
+    params, _ = convert_state_dict(hf.state_dict(), cfg)
+    with torch.no_grad():
+        ref = hf(inputs_embeds=torch.from_numpy(embeds)).last_hidden_state.numpy()
+    ours = np.asarray(bb.apply(_to_jax(params), cfg, jnp.asarray(embeds)))
+    np.testing.assert_allclose(ours, ref, atol=3e-5)
