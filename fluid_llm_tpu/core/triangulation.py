@@ -61,8 +61,21 @@ def locate_triangles(
 
     Prefers matplotlib's C trifinder for exact mask parity with the reference
     (``mesh_utils.py:103-104``); falls back to the native C++ locator, then to
-    a NumPy bbox-bucketed point-in-triangle search.
+    a NumPy bbox-bucketed point-in-triangle search.  Set
+    ``FLUID_LLM_TPU_NATIVE_LOCATOR=1`` to prefer the multithreaded C++
+    locator (``native/meshcore.cpp``) — value-identical except for pixels
+    landing exactly on triangle edges.
     """
+    import os
+
+    prefer_native = os.environ.get("FLUID_LLM_TPU_NATIVE_LOCATOR") == "1"
+    if prefer_native:
+        try:
+            from fluid_llm_tpu.core import _native
+
+            return _native.locate(pos, faces, grid_x, grid_y)
+        except Exception:
+            pass
     try:
         from matplotlib import tri as mtri
 

@@ -3,7 +3,7 @@
 import jax
 import numpy as np
 
-from fluid_llm_tpu.inference import test_generate
+from fluid_llm_tpu.inference import test_generate as run_test_generate
 from fluid_llm_tpu.train import checkpoint as ckpt
 from fluid_llm_tpu.train.loop import train_run
 from fluid_llm_tpu.train.trainer import Trainer
@@ -38,7 +38,7 @@ def test_train_loop_checkpoint_restore_inference(tmp_path):
     assert cfg2.autoreg_seq_len == cfg.autoreg_seq_len
 
     # inference protocol on the restored params (short rollout)
-    per_step, mean = test_generate(
+    per_step, mean = run_test_generate(
         model, restored.params, ds, batch_size=2, pred_steps=3, ctx_states=1
     )
     assert per_step.shape == (3,)
