@@ -21,7 +21,7 @@ from fluid_llm_tpu.train.trainer import Trainer
 from fluid_llm_tpu.models.fluid_llm import FluidLLM
 from fluid_llm_tpu.utils import set_seed
 
-logging.basicConfig(level=logging.INFO, format="[%(name)s:%(levelname)s] %(message)s")
+logging.basicConfig(level=logging.INFO, format="[%(name)s:%(levelname)s] %(message)s", force=True)
 logger = logging.getLogger("fluid_llm_tpu.continue_train")
 
 

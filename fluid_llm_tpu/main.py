@@ -31,7 +31,7 @@ from fluid_llm_tpu.train.optim import partition
 from fluid_llm_tpu.train.trainer import Trainer, TrainState
 from fluid_llm_tpu.utils import count_params, set_seed
 
-logging.basicConfig(level=logging.INFO, format="[%(name)s:%(levelname)s] %(message)s")
+logging.basicConfig(level=logging.INFO, format="[%(name)s:%(levelname)s] %(message)s", force=True)
 logger = logging.getLogger("fluid_llm_tpu.main")
 
 
@@ -90,15 +90,31 @@ def main(argv=None):
         cfg.to_yaml(f"{save_path}/config.yaml")
         logger.info("Saving checkpoints to: %s", save_path)
 
-    log_fn = None
+    sinks = []
     if args.metrics_jsonl:
         f = open(args.metrics_jsonl, "a")
+        sinks.append(lambda m, e: (f.write(json.dumps({"epoch": e, **m}) + "\n"), f.flush()))
 
-        def log_fn(metrics, epoch):
-            f.write(json.dumps({"epoch": epoch, **metrics}) + "\n")
-            f.flush()
+    # optional wandb, as in the reference (``src/main.py:154-167``); degrades
+    # gracefully when the package or network is absent
+    wandb_run = None
+    if cfg.enable_wandb:
+        try:
+            import wandb
+
+            tag = "airfoil" if "airfoil" in cfg.load_dir else "25_validation"
+            wandb_run = wandb.init(
+                project="llm4multivariatets", tags=[tag], config=cfg.to_dict()
+            )
+            sinks.append(lambda m, e: wandb.log(m, step=e))
+        except Exception as e:  # no wandb / no egress
+            logger.warning("wandb unavailable (%s); continuing without", e)
+
+    log_fn = (lambda m, e: [s(m, e) for s in sinks]) if sinks else None
 
     train_run(cfg, trainer, state, train_ds, valid_ds, save_path, rng=rng, log_fn=log_fn)
+    if wandb_run is not None:
+        wandb_run.finish()
 
 
 if __name__ == "__main__":

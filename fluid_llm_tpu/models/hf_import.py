@@ -165,6 +165,13 @@ def load_pretrained(
     """
     cfg = preset(name, llm_layers)
     try:
+        import os
+
+        if local_files_only:
+            # zero-egress environment: stop huggingface_hub from retrying
+            # network HEAD requests before falling back to the cache
+            os.environ.setdefault("HF_HUB_OFFLINE", "1")
+            os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
         import torch  # noqa: F401
         from transformers import AutoModel
 
