@@ -171,6 +171,9 @@ class Config:
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
     seed: int = 1234  # reference seeds 1234 globally (``src/utils.py:23``)
     profile_dir: Optional[str] = None  # jax.profiler trace output, if set
+    # gradient accumulation (the reference's ``accelerator.accumulate``,
+    # ``src/main.py:68``); 1 = update every step
+    grad_accum_steps: int = 1
 
     def __post_init__(self):
         if isinstance(self.lora_config, dict):

@@ -51,7 +51,15 @@ def build_model_and_state(cfg: Config, ds_props, rng) -> tuple[FluidLLM, Trainer
     else:
         logger.info("Pretrained %s unavailable; using random init", cfg.llm_backbone)
 
-    if len(jax.devices()) > 1:
+    # quantized backbone storage (reference's 4-bit loading flag,
+    # ``model.py:51``; int8 weight-only here) — only valid for a frozen base
+    if cfg.llm_4bit_loading and (cfg.use_lora or cfg.freeze_llm):
+        from fluid_llm_tpu.ops.quant import quantize_backbone
+
+        params["backbone"] = quantize_backbone(params["backbone"])
+        logger.info("Quantized backbone weights to int8 storage")
+
+    if len(jax.devices()) > 1 and not cfg.llm_4bit_loading:
         mesh = make_mesh(cfg.parallel)
         params = shard_params(params, mesh, cfg.parallel)
 

@@ -200,8 +200,17 @@ def _norm(x, p, cfg: BackboneConfig):
     return out.astype(dtype)
 
 
+def materialize_w(p, dtype):
+    """Weight matrix of a linear param leaf; dequantises int8 storage
+    (``ops/quant.py``) on the fly."""
+    w = p["w"]
+    if isinstance(w, dict):
+        return (w["q"].astype(jnp.float32) * w["scale"]).astype(dtype)
+    return w.astype(dtype)
+
+
 def _linear(x, p):
-    y = x @ p["w"].astype(x.dtype)
+    y = x @ materialize_w(p, x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

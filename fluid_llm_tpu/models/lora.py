@@ -80,8 +80,10 @@ def lora_linear(
     rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Linear layer with an optional LoRA/DoRA adapter."""
+    from fluid_llm_tpu.models.backbone import materialize_w
+
     dtype = x.dtype
-    w = base["w"].astype(dtype)
+    w = materialize_w(base, dtype)
     b = base.get("b")
     if adapter is None:
         y = x @ w
@@ -102,7 +104,7 @@ def lora_linear(
     base_out = x @ w
 
     if cfg.use_dora:
-        w_eff = base["w"] + adapter["A"] @ adapter["B"] * scaling
+        w_eff = materialize_w(base, jnp.float32) + adapter["A"] @ adapter["B"] * scaling
         norm = jax.lax.stop_gradient(jnp.linalg.norm(w_eff, axis=0))
         mag = (adapter["m"] / norm).astype(dtype)
         y = (base_out + delta_out) * mag

@@ -75,10 +75,17 @@ def build_optimizer(cfg: Config) -> optax.GradientTransformation:
         opt = optax.inject_hyperparams(sgd_l2)(learning_rate=cfg.learning_rate)
     else:
         raise ValueError(f"Unknown optimizer type: {cfg.optimizer}")
+    if getattr(cfg, "grad_accum_steps", 1) > 1:
+        # the reference's ``accelerator.accumulate`` (``src/main.py:68``):
+        # average grads over k micro-batches, update every k-th step
+        opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_accum_steps)
     return opt
 
 
 def set_learning_rate(opt_state, lr: float):
     """Update the injected learning rate in-place-ish (returns new state)."""
-    opt_state.hyperparams["learning_rate"] = jax.numpy.asarray(lr, dtype=jax.numpy.float32)
+    target = opt_state
+    if hasattr(target, "inner_opt_state"):  # optax.MultiSteps wrapper
+        target = target.inner_opt_state
+    target.hyperparams["learning_rate"] = jax.numpy.asarray(lr, dtype=jax.numpy.float32)
     return opt_state
