@@ -20,6 +20,15 @@ import time
 def main():
     import jax
 
+    # persistent compilation cache: the 251-step rollout program is large
+    # (several minutes cold); warm runs load from cache in seconds
+    cache_dir = os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.cache/fluid_llm_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from fluid_llm_tpu.config import Config
     from fluid_llm_tpu.data.pipeline import make_batches
     from fluid_llm_tpu.data.synthetic import SyntheticCylinderDataset

@@ -151,12 +151,23 @@ class EagleDroneDataset:
         with_cluster: bool = False,
         n_cluster: int = 20,
         seed: int = 1,
+        split_file: Optional[str] = None,
     ):
         assert mode in ("train", "valid", "test")
         self.fn = data_path
-        self.dataloc = natsorted(
-            [os.path.join(r, f)[:-8] for r, _, fs in os.walk(self.fn) for f in fs if f.endswith("sim.npz")]
-        )
+        # EAGLE ships 947/118/118 split lists (``eagle/Splits/*.txt``);
+        # honour them when present, else walk the tree
+        if split_file is None:
+            cand = os.path.join(data_path, "Splits", f"{mode}.txt")
+            split_file = cand if os.path.exists(cand) else None
+        if split_file:
+            with open(split_file) as f:
+                rel = [ln.strip() for ln in f if ln.strip()]
+            self.dataloc = [os.path.join(data_path, r) for r in rel]
+        else:
+            self.dataloc = natsorted(
+                [os.path.join(r, f)[:-8] for r, _, fs in os.walk(self.fn) for f in fs if f.endswith("sim.npz")]
+            )
         if not self.dataloc:
             raise FileNotFoundError(f"No sim.npz under {self.fn}")
         self.mode = mode

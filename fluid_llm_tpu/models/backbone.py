@@ -283,6 +283,7 @@ def apply(
     lora_cfg=None,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    decode_slice: Optional[tuple[jnp.ndarray, int]] = None,
 ) -> jnp.ndarray:
     """Run the backbone over ``inputs_embeds`` (bs, L, d) -> (bs, L, d).
 
@@ -290,6 +291,11 @@ def apply(
     Dense input (valid=None) reproduces the reference exactly; masked input is
     used by the fixed-shape rollout window (see ``rollout/generate.py``).
     ``lora``/``lora_cfg``: optional adapter tree from ``models/lora.py``.
+    ``decode_slice``: optional ``(start, length)`` (traced start, static
+    length).  When set, the FINAL block computes queries/FFN only for that
+    contiguous token range — exact for causal attention since later layers'
+    outputs elsewhere are never read — and the result has shape
+    (bs, length, d).  Rollout uses this to decode a single frame.
     """
     from fluid_llm_tpu.models.lora import lora_linear
 
@@ -356,11 +362,63 @@ def apply(
     block_fn = jax.checkpoint(block, static_argnums=()) if cfg.remat else block
 
     lora_layers = (lora or {}).get("layers", [None] * cfg.n_layers)
-    for li, layer_params in enumerate(params["layers"]):
-        x = block_fn(x, layer_params, lora_layers[li], drop_keys[1 + 2 * li], drop_keys[2 + 2 * li])
+    n_full = cfg.n_layers - (1 if decode_slice is not None else 0)
+    for li in range(n_full):
+        x = block_fn(x, params["layers"][li], lora_layers[li], drop_keys[1 + 2 * li], drop_keys[2 + 2 * li])
+
+    if decode_slice is not None:
+        x = _final_block_sliced(
+            x, params["layers"][-1], lora_layers[-1], cfg, positions, valid,
+            decode_slice, lora_cfg,
+        )
 
     x = _norm(x, params["final_norm"], cfg)
     return x
+
+
+def _final_block_sliced(x, layer_params, layer_lora, cfg: BackboneConfig,
+                        positions, valid, decode_slice, lora_cfg):
+    """Final transformer block computed only for a query slice (exact under
+    causal attention; see ``apply`` docstring).  Inference-only (no dropout)."""
+    from fluid_llm_tpu.models.lora import lora_linear
+
+    start, ln = decode_slice
+    bs, L, d = x.shape
+
+    def lin(h, group, name):
+        ad = None if layer_lora is None else layer_lora.get(group, {}).get(name)
+        if ad is None:
+            return _linear(h, layer_params[group][name])
+        return lora_linear(h, layer_params[group][name], ad, lora_cfg)
+
+    h = _norm(x, layer_params["ln1"], cfg)
+    x_s = jax.lax.dynamic_slice_in_dim(x, start, ln, axis=1)
+    h_q = jax.lax.dynamic_slice_in_dim(h, start, ln, axis=1)
+
+    q = lin(h_q, "attn", "q").reshape(bs, ln, cfg.n_heads, cfg.head_dim)
+    k = lin(h, "attn", "k").reshape(bs, L, cfg.kv_heads, cfg.head_dim)
+    v = lin(h, "attn", "v").reshape(bs, L, cfg.kv_heads, cfg.head_dim)
+    if cfg.pos == "rope":
+        pos_q = jax.lax.dynamic_slice_in_dim(positions, start, ln, axis=1)
+        q, _ = _rope(q, q, pos_q, cfg)
+        _, k = _rope(k, k, positions, cfg)
+    if cfg.kv_heads != cfg.n_heads:
+        rep = cfg.n_heads // cfg.kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+    rows = start + jnp.arange(ln)[None, :, None]  # (1, ln, 1)
+    cols = jnp.arange(L)[None, None, :]
+    allowed = (cols <= rows) & (valid[:, None, :] | (cols == rows))
+    attn_out = _attention_xla(q, k, v, allowed[:, None], cfg.dtype)
+    x_s = x_s + lin(attn_out.reshape(bs, ln, d), "attn", "o")
+
+    h2 = _norm(x_s, layer_params["ln2"], cfg)
+    if cfg.family == "llama":
+        h2 = lin(jax.nn.silu(lin(h2, "mlp", "gate")) * lin(h2, "mlp", "up"), "mlp", "down")
+    else:
+        h2 = lin(_act(lin(h2, "mlp", "fc1"), cfg.act), "mlp", "fc2")
+    return x_s + h2
 
 
 def _sdpa(q, k, v, allowed, valid, cfg: BackboneConfig):

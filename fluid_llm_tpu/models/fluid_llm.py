@@ -234,16 +234,15 @@ class FluidLLM:
             h = jnp.concatenate([bos, h], axis=1)
             token_valid = jnp.concatenate([jnp.ones((bs, 1), bool), token_valid], axis=1)
 
+        # final transformer block + decode restricted to the target frame's
+        # token range (exact under causal attention; ``backbone.apply``)
+        tok_start = jnp.asarray(out_idx, jnp.int32) * n_patch + (1 if cfg.use_bos_token else 0)
         out = bb.apply(
             params["backbone"], self.backbone_cfg, h, token_valid,
             lora=params.get("lora"), lora_cfg=cfg.lora_config,
+            decode_slice=(tok_start, n_patch),
         )
-        if cfg.use_bos_token:
-            out = out[:, 1:]
-        tokens = out.reshape(bs, seq_len, n_patch, -1)
-        frame_tokens = jax.vmap(
-            lambda t, i: jax.lax.dynamic_index_in_dim(t, i, 0, keepdims=True)
-        )(tokens, jnp.broadcast_to(out_idx, (bs,)))  # (bs, 1, N, d)
+        frame_tokens = out[:, None]  # (bs, 1, N, d)
         preds = patch_decoder_apply(
             params["decoder"], frame_tokens, self.ds_props, cfg.decoder_params
         )

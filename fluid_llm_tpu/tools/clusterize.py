@@ -158,12 +158,48 @@ def clusterize_pkl_dir(path: str, max_cluster_size: int, seed: int = 0) -> list[
     return saved
 
 
+def clusterize_eagle_dir(path: str, max_cluster_size: int, seed: int = 0) -> list[str]:
+    """EAGLE variant (``eagle/clusterize_fluent.py``): per-trajectory npz
+    point clouds change per frame; cluster each frame, warm-starting k-means
+    from the previous frame's centres."""
+    saved = []
+    for root, _, files in os.walk(path):
+        if "sim.npz" not in files:
+            continue
+        data = np.load(os.path.join(root, "sim.npz"), mmap_mode="r")
+        pc = np.asarray(data["pointcloud"])
+        frames = []
+        centers = None
+        for t in range(pc.shape[0]):
+            points = pc[t].astype(np.float64)
+            n = len(points)
+            K = int(np.ceil(n / max_cluster_size)) + 1
+            if centers is None or len(centers) != K:
+                rng = np.random.default_rng(seed)
+                centers = points[rng.permutation(n)[:K]]
+            centers = kmeans(points, K, centers=centers)
+            clusters = capacity_assign(points, centers, max_cluster_size)
+            clusters = swap_refine(points, clusters, max_cluster_size)
+            out = np.full((K, max_cluster_size), -1, np.int64)
+            for k in range(K):
+                members = np.nonzero(clusters == k)[0]
+                out[k, : len(members)] = members
+            frames.append(out)
+        arr = np.stack(frames).astype(np.int32)
+        out_path = os.path.join(root, f"constrained_kmeans_{max_cluster_size}.npy")
+        np.save(out_path, arr)
+        saved.append(out_path)
+    return saved
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--max_cluster_size", type=int, default=10)
     parser.add_argument("--path", default="./ds/MGN/cylinder_dataset/train")
+    parser.add_argument("--eagle", action="store_true", help="EAGLE npz layout")
     args = parser.parse_args(argv)
-    for p in clusterize_pkl_dir(args.path, args.max_cluster_size):
+    fn = clusterize_eagle_dir if args.eagle else clusterize_pkl_dir
+    for p in fn(args.path, args.max_cluster_size):
         print("saved", p)
 
 

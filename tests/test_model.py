@@ -226,3 +226,20 @@ def test_lora_freezes_backbone():
     np.testing.assert_array_equal(
         np.asarray(bb_before), np.asarray(jax.tree_util.tree_leaves(state.frozen["backbone"])[0])
     )
+
+
+def test_rollout_with_lora_params():
+    """predict_frame_diff's sliced final block must honour LoRA adapters."""
+    cfg, ds, props, model, batch = tiny_setup(use_lora=True)
+    params = model.init(jax.random.PRNGKey(0))
+    # make the adapters non-trivial so divergence from base would show
+    params["lora"] = jax.tree_util.tree_map(
+        lambda x: x + 0.01, params["lora"]
+    )
+    states, _, _, bc_mask, pos = batch
+    st, df = generate(model, params, states[:, :1], bc_mask, pos, 3)
+    assert np.isfinite(np.asarray(st)).all()
+    base = dict(params)
+    base.pop("lora")
+    st2, _ = generate(model, base, states[:, :1], bc_mask, pos, 3)
+    assert not np.allclose(np.asarray(st[:, 1:]), np.asarray(st2[:, 1:]))
