@@ -67,6 +67,48 @@ class GridImageDataset:
         return np.moveaxis(state, 1, -1), mask.copy()  # NHWC
 
 
+class EagleImageDataset:
+    """Pre-rendered EAGLE grid images (``eagle/Dataloader/IMG_Eagle.py``):
+    per-trajectory ``states.npy`` (T, H, W, C) + ``pixel_type.npy`` mask;
+    fixed val/test window start 550."""
+
+    # EAGLE image normalization constants (``IMG_Eagle.py`` normalize)
+    MEANS = (-0.0015, 0.2211, -0.8322)
+    STDS = (1.7970, 2.0258, 7.4013)
+
+    def __init__(self, data_path: str, mode: str = "train", window_length: int = 10, seed: int = 1):
+        import os
+
+        assert mode in ("train", "valid", "test")
+        self.dataloc = sorted(
+            os.path.join(r) for r, _, fs in os.walk(data_path) if "states.npy" in fs
+        )
+        if not self.dataloc:
+            raise FileNotFoundError(f"No states.npy under {data_path}")
+        self.mode = mode
+        self.window_length = window_length
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.dataloc)
+
+    def __getitem__(self, item: int):
+        import os
+
+        T = self.window_length
+        t = 1 if T == 990 else int(self._rng.integers(1, 990 - T + 1))
+        if self.mode in ("test", "valid") and T != 990:
+            t = 550
+        states = np.load(os.path.join(self.dataloc[item], "states.npy"), mmap_mode="r")
+        mask = np.load(os.path.join(self.dataloc[item], "pixel_type.npy"), mmap_mode="r")
+        window = np.asarray(states[t:t + T], np.float32)
+        means = np.asarray(self.MEANS, np.float32)[: window.shape[-1]]
+        stds = np.asarray(self.STDS, np.float32)[: window.shape[-1]]
+        window = (window - means) / stds
+        m = np.broadcast_to(np.asarray(mask, bool), (T,) + np.asarray(mask).shape[-2:])
+        return window, m.copy()
+
+
 def iterate_image_batches(
     dataset: GridImageDataset, batch_size: int, *, shuffle: bool, seed: int = 0
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:

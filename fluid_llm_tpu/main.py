@@ -35,7 +35,7 @@ logging.basicConfig(level=logging.INFO, format="[%(name)s:%(levelname)s] %(messa
 logger = logging.getLogger("fluid_llm_tpu.main")
 
 
-def build_model_and_state(cfg: Config, ds_props, rng) -> tuple[FluidLLM, Trainer, TrainState]:
+def build_model_and_state(cfg: Config, ds_props, rng):
     model = FluidLLM.build(cfg, ds_props)
     trainer = Trainer(model)
     params = model.init(rng)
@@ -59,6 +59,7 @@ def build_model_and_state(cfg: Config, ds_props, rng) -> tuple[FluidLLM, Trainer
         params["backbone"] = quantize_backbone(params["backbone"])
         logger.info("Quantized backbone weights to int8 storage")
 
+    mesh = None
     if len(jax.devices()) > 1 and not cfg.llm_4bit_loading:
         mesh = make_mesh(cfg.parallel)
         params = shard_params(params, mesh, cfg.parallel)
@@ -71,7 +72,7 @@ def build_model_and_state(cfg: Config, ds_props, rng) -> tuple[FluidLLM, Trainer
         "The model has %d trainable parameters (%d frozen)",
         count_params(trainable), count_params(frozen),
     )
-    return model, trainer, state
+    return model, trainer, state, mesh
 
 
 def main(argv=None):
@@ -90,7 +91,7 @@ def main(argv=None):
     valid_ds = get_dataset(cfg.replace(seq_len=cfg.val_seq_len), mode="valid")
     ds_props = train_ds.ds_props()
 
-    model, trainer, state = build_model_and_state(cfg, ds_props, rng)
+    model, trainer, state, mesh = build_model_and_state(cfg, ds_props, rng)
 
     save_path = ""
     if cfg.save_on:
@@ -120,7 +121,7 @@ def main(argv=None):
 
     log_fn = (lambda m, e: [s(m, e) for s in sinks]) if sinks else None
 
-    train_run(cfg, trainer, state, train_ds, valid_ds, save_path, rng=rng, log_fn=log_fn)
+    train_run(cfg, trainer, state, train_ds, valid_ds, save_path, rng=rng, log_fn=log_fn, mesh=mesh)
     if wandb_run is not None:
         wandb_run.finish()
 

@@ -58,10 +58,18 @@ def train_run(
     start_ep: int = 0,
     rng: Optional[jax.Array] = None,
     log_fn: Optional[Callable[[dict, int], None]] = None,
+    mesh=None,
 ) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
     lr_schedule = steplr(cfg.learning_rate, cfg.schedule_epoch, cfg.schedule_gamma)
     st = time.time()
+
+    if mesh is not None:
+        from fluid_llm_tpu.parallel.mesh import shard_batch
+
+        place = lambda b: shard_batch(b, mesh)
+    else:
+        place = lambda b: b
 
     for epoch_idx in range(cfg.num_epochs):
         epoch = epoch_idx + start_ep
@@ -76,7 +84,7 @@ def train_run(
         for batch in make_batches(train_ds, cfg.batch_size, shuffle=True, seed=epoch):
             rng, step_rng = jax.random.split(rng)
             state.trainable, state.opt_state, metrics = step_fn(
-                state.trainable, state.frozen, state.opt_state, batch, step_rng
+                state.trainable, state.frozen, state.opt_state, place(batch), step_rng
             )
             train_metrics.append(jax.device_get(metrics))
         if profiling:
@@ -87,7 +95,7 @@ def train_run(
 
         if epoch_idx % 3 == 0:
             val_metrics = [
-                jax.device_get(trainer.val_step(state.trainable, state.frozen, batch))
+                jax.device_get(trainer.val_step(state.trainable, state.frozen, place(batch)))
                 for batch in make_batches(valid_ds, cfg.batch_size, shuffle=False)
             ]
             val_log, val_loss, val_nrmse = process_metrics(val_metrics, "Gen", "val")

@@ -100,3 +100,30 @@ def test_sharded_matches_single_device(setup):
     l0 = jax.tree_util.tree_leaves(t0)[0]
     l1 = jax.tree_util.tree_leaves(t1)[0]
     np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), atol=1e-5)
+
+
+def test_train_run_with_mesh(tmp_path):
+    """Full epoch loop with mesh-sharded batches on the 8-device CPU mesh."""
+    from fluid_llm_tpu.data.synthetic import SyntheticCylinderDataset
+    from fluid_llm_tpu.train.loop import train_run
+
+    cfg, _, props, model, _ = tiny_setup(seq_len=4, decoder="MLP")
+    cfg = cfg.replace(num_epochs=1, batch_size=8, save_on=False)
+    model = model.__class__(cfg=cfg, ds_props=model.ds_props, backbone_cfg=model.backbone_cfg)
+    ds = SyntheticCylinderDataset(n_trajectories=8, resolution=64, seq_len=4, mode="valid")
+
+    par = ParallelConfig()
+    mesh = make_mesh(par)
+    trainer = Trainer(model)
+    params = shard_params(model.init(jax.random.PRNGKey(0)), mesh, par)
+    mask = model.trainable_mask(params)
+    trainable, frozen = partition(params, mask)
+    from fluid_llm_tpu.train.trainer import TrainState
+
+    state = TrainState(trainable=trainable, frozen=frozen,
+                       opt_state=trainer.opt.init(trainable))
+    logs = []
+    state = train_run(cfg, trainer, state, ds, ds, rng=jax.random.PRNGKey(1),
+                      log_fn=lambda m, e: logs.append(m), mesh=mesh)
+    assert state.epoch == 1
+    assert any("train/Autoreg/loss" in m for m in logs)
