@@ -35,7 +35,7 @@ def main():
     from fluid_llm_tpu.models.fluid_llm import FluidLLM
     from fluid_llm_tpu.rollout.generate import generate
 
-    PRED_STEPS = 251  # ``src/inference.py:87``
+    PRED_STEPS = int(os.environ.get("BENCH_ROLLOUT_STEPS", 251))  # ``src/inference.py:87``
     SEQ_LEN = 10  # autoreg_seq_len -> max_ctx_len 10
 
     cfg = Config(

@@ -17,12 +17,15 @@ Layout contract (must match ``F.unfold`` exactly so position-id bookkeeping
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 import jax.numpy as jnp
 
-from fluid_llm_tpu.data.ds_props import DSProps
+if TYPE_CHECKING:  # avoid a circular import through the data package
+    from fluid_llm_tpu.data.ds_props import DSProps
 
 
-def img_to_patch(img: jnp.ndarray, ds_props: DSProps) -> jnp.ndarray:
+def img_to_patch(img: jnp.ndarray, ds_props: "DSProps") -> jnp.ndarray:
     """``(..., C, tot_px, tot_py) -> (..., N_patch, C, px, py)``.
 
     Equivalent of ``src/utils_model.py:95-109``.
@@ -38,7 +41,7 @@ def img_to_patch(img: jnp.ndarray, ds_props: DSProps) -> jnp.ndarray:
     return x.reshape(*lead, nx * ny, c, px, py)
 
 
-def patch_to_img(patches: jnp.ndarray, ds_props: DSProps) -> jnp.ndarray:
+def patch_to_img(patches: jnp.ndarray, ds_props: "DSProps") -> jnp.ndarray:
     """``(..., N_patch, C, px, py) -> (..., C, tot_px, tot_py)``.
 
     Equivalent of ``src/utils_model.py:77-92``.
@@ -54,7 +57,7 @@ def patch_to_img(patches: jnp.ndarray, ds_props: DSProps) -> jnp.ndarray:
     return x.reshape(*lead, c, nx * px, ny * py)
 
 
-def fold_features(tokens: jnp.ndarray, ds_props: DSProps, feat_dim: int) -> jnp.ndarray:
+def fold_features(tokens: jnp.ndarray, ds_props: "DSProps", feat_dim: int) -> jnp.ndarray:
     """Scatter per-patch feature vectors onto the pixel grid.
 
     ``(..., N_patch, px*py*feat) -> (..., tot_px, tot_py, feat)``

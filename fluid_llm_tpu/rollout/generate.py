@@ -52,12 +52,16 @@ def generate(
     bc_mask: jnp.ndarray,
     position_ids: jnp.ndarray,
     n_steps: int,
+    remat: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """``model.py:168-216`` as a scan.
 
     init_states: (bs, init_len, N_patch, 3, px, py) patch states.
     bc_mask:     (bs, seq, N_patch, 3, px, py) bool.
     position_ids:(bs, seq, N_patch, 3).
+    remat:       rematerialise each scan step — needed when differentiating
+                 through the rollout (the ``notf`` training mode) at full
+                 scale, trading recompute for activation memory.
     Returns (all_states, all_diffs) as patch tensors of
     (bs, init_len + n_steps, ...) / (bs, n_steps, ...).
     """
@@ -101,7 +105,8 @@ def generate(
         )(shifted, next_state, jnp.broadcast_to(write_idx, (bs,)))
         return new_buffer, (next_state, diffs)
 
-    _, (next_states, all_diffs) = jax.lax.scan(step, buffer, jnp.arange(n_steps))
+    step_fn = jax.checkpoint(step) if remat else step
+    _, (next_states, all_diffs) = jax.lax.scan(step_fn, buffer, jnp.arange(n_steps))
     # scan stacks on axis 0 -> (steps, bs, ...); move to (bs, steps, ...)
     next_states = jnp.moveaxis(next_states, 0, 1)
     all_diffs = jnp.moveaxis(all_diffs, 0, 1)
@@ -115,6 +120,7 @@ def gen_seq(
     batch: tuple,
     pred_steps: int,
     start_state: int = 1,
+    remat: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """``model.py:218-233``: generate and reshape to image format."""
     states, _, _, bc_mask, position_ids = batch
@@ -125,5 +131,7 @@ def gen_seq(
             f"must be less than total sequence length {seq_len}!"
         )
     init_state = states[:, :start_state]
-    all_states, all_diffs = generate(model, params, init_state, bc_mask, position_ids, pred_steps)
+    all_states, all_diffs = generate(
+        model, params, init_state, bc_mask, position_ids, pred_steps, remat=remat
+    )
     return patch_to_img(all_states, model.ds_props), patch_to_img(all_diffs, model.ds_props)

@@ -109,7 +109,11 @@ class Trainer:
             pred_state = guide_img + pred_diffs
         elif mode == "notf":
             seq_len = states.shape[1]
-            pred_states_img, _ = gen_seq(model, params, batch, seq_len)
+            # gradients flow through the whole rollout; remat the scan steps
+            # when configured so activation memory stays bounded
+            pred_states_img, _ = gen_seq(
+                model, params, batch, seq_len, remat=cfg.parallel.remat
+            )
             pred_state = pred_states_img[:, 1:]
         else:
             raise ValueError(mode)
