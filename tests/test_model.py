@@ -243,3 +243,25 @@ def test_rollout_with_lora_params():
     base.pop("lora")
     st2, _ = generate(model, base, states[:, :1], bc_mask, pos, 3)
     assert not np.allclose(np.asarray(st[:, 1:]), np.asarray(st2[:, 1:]))
+
+
+@pytest.mark.parametrize("see_init,bos", [(False, True), (True, False), (False, False)])
+def test_rollout_config_matrix(see_init, bos):
+    """Rollout equivalence holds for all see_init/bos flag combinations."""
+    cfg, ds, props, model, batch = tiny_setup(
+        see_init_state=see_init, use_bos_token=bos
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    states, _, _, bc_mask, pos = batch
+    st, df = generate(model, params, states[:, :1], bc_mask, pos, 3)
+    assert np.isfinite(np.asarray(st)).all()
+
+    # oracle step 1: dense window of 1 frame
+    wpos = pos[:, :1].at[:, :, :, 2].set(0)
+    if see_init:
+        pred = model.forward_see_init(params, states[:, :1], wpos)
+    else:
+        pred = model.forward(params, states[:, :1], wpos)
+    diffs0 = img_to_patch(pred[:, -1:], model.ds_props)[:, 0]
+    diffs0 = jnp.where(bc_mask[:, 0], 0.0, diffs0)
+    np.testing.assert_allclose(np.asarray(df[:, 0]), np.asarray(diffs0), atol=5e-5)
