@@ -239,15 +239,53 @@ class PatchDataset:
 
 
 def make_batches(
-    dataset: PatchDataset, batch_size: int, *, shuffle: bool, seed: int = 0, drop_last: bool = False
+    dataset: PatchDataset,
+    batch_size: int,
+    *,
+    shuffle: bool,
+    seed: int = 0,
+    drop_last: bool = False,
+    num_workers: int = 0,
+    prefetch: int = 2,
 ) -> Iterator[tuple]:
-    """Minimal host batcher: stacks samples into device-ready jnp arrays."""
+    """Host batcher with optional threaded prefetch.
+
+    The reference uses torch ``DataLoader(num_workers=6, prefetch_factor=2)``
+    (``src/utils_model.py:34-39``); here worker *threads* build samples (the
+    heavy lifting — mesh resample + patchify — is jitted device work that
+    releases the GIL) and ``prefetch`` batches are staged ahead of the
+    consumer.
+    """
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
-    for i in range(0, len(order), batch_size):
-        chunk = order[i:i + batch_size]
-        if drop_last and len(chunk) < batch_size:
-            return
+    chunks = [
+        order[i:i + batch_size]
+        for i in range(0, len(order), batch_size)
+        if not (drop_last and len(order[i:i + batch_size]) < batch_size)
+    ]
+
+    def build(chunk):
         samples = [dataset[int(j)] for j in chunk]
-        yield tuple(jnp.stack([s[k] for s in samples]) for k in range(5))
+        return tuple(jnp.stack([s[k] for s in samples]) for k in range(5))
+
+    if num_workers <= 0:
+        for chunk in chunks:
+            yield build(chunk)
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        pending = []
+        it = iter(chunks)
+        for _ in range(max(1, prefetch)):
+            chunk = next(it, None)
+            if chunk is not None:
+                pending.append(pool.submit(build, chunk))
+        while pending:
+            fut = pending.pop(0)
+            chunk = next(it, None)
+            if chunk is not None:
+                pending.append(pool.submit(build, chunk))
+            yield fut.result()

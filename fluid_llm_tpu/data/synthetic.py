@@ -87,7 +87,7 @@ class SyntheticGraphDataset:
         self.mesh_nodes = mesh_nodes
         self.max_steps = max_steps
         self.n_cluster = n_cluster
-        self.base_seed = seed
+        self.base_seed = seed + {"train": 0, "valid": 10_000, "test": 20_000}[mode]
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -166,7 +166,8 @@ class SyntheticCylinderDataset(PatchDataset):
         self.n_trajectories = n_trajectories
         self.mesh_nodes = mesh_nodes
         self.max_steps = max_steps
-        self.base_seed = seed
+        # distinct trajectories per split (train/valid/test don't overlap)
+        self.base_seed = seed + {"train": 0, "valid": 10_000, "test": 20_000}[mode]
         self._cache: dict[int, TrajectorySource] = {}
 
     def num_trajectories(self) -> int:

@@ -81,7 +81,10 @@ def train_run(
             jax.profiler.start_trace(cfg.profile_dir)
 
         train_metrics = []
-        for batch in make_batches(train_ds, cfg.batch_size, shuffle=True, seed=epoch):
+        for batch in make_batches(
+            train_ds, cfg.batch_size, shuffle=True, seed=epoch,
+            num_workers=cfg.num_workers,
+        ):
             rng, step_rng = jax.random.split(rng)
             state.trainable, state.opt_state, metrics = step_fn(
                 state.trainable, state.frozen, state.opt_state, place(batch), step_rng

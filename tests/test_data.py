@@ -180,3 +180,15 @@ def test_airfoil_dataset_from_pkl(tmp_path, rng):
     )
     np.testing.assert_array_equal(np.asarray(m), mo)
     np.testing.assert_allclose(np.asarray(s), so, atol=2e-4)
+
+
+def test_make_batches_threaded_matches_serial():
+    from fluid_llm_tpu.data.pipeline import make_batches
+
+    ds = SyntheticCylinderDataset(n_trajectories=5, resolution=32, seq_len=3, mode="valid")
+    serial = list(make_batches(ds, 2, shuffle=True, seed=3))
+    threaded = list(make_batches(ds, 2, shuffle=True, seed=3, num_workers=3))
+    assert len(serial) == len(threaded)
+    for a, b in zip(serial, threaded):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
