@@ -1,0 +1,85 @@
+"""Optimizer construction: StepLR injection, torch-style L2, MultiSteps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from fluid_llm_tpu.config import Config
+from fluid_llm_tpu.train.optim import (
+    build_optimizer,
+    combine,
+    partition,
+    set_learning_rate,
+    steplr,
+)
+
+
+def test_steplr_matches_torch():
+    sched = steplr(1e-3, 50, 0.75)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1e-3)
+    tsched = torch.optim.lr_scheduler.StepLR(opt, step_size=50, gamma=0.75)
+    for epoch in range(130):
+        np.testing.assert_allclose(sched(epoch), tsched.get_last_lr()[0], rtol=1e-9)
+        opt.step()
+        tsched.step()
+
+
+def test_injected_lr_changes_updates():
+    cfg = Config(optimizer="adamw", learning_rate=1e-3, weight_decay=0.0)
+    opt = build_optimizer(cfg)
+    params = {"w": jnp.ones((3,))}
+    state = opt.init(params)
+    grads = {"w": jnp.ones((3,))}
+    up1, state1 = opt.update(grads, state, params)
+    state1 = set_learning_rate(state1, 1e-4)
+    up2, _ = opt.update(grads, state1, params)
+    ratio = float(up2["w"][0] / up1["w"][0])
+    np.testing.assert_allclose(ratio, 0.1, rtol=0.2)
+
+
+def test_adam_weight_decay_matches_torch_l2():
+    """optimizer='adam' applies torch-style L2 (decay added to grads)."""
+    cfg = Config(optimizer="adam", learning_rate=1e-2, weight_decay=0.1)
+    opt = build_optimizer(cfg)
+    w0 = np.array([1.0, -2.0, 0.5], np.float32)
+    params = {"w": jnp.asarray(w0)}
+    state = opt.init(params)
+    grads = {"w": jnp.asarray([0.3, 0.1, -0.2], np.float32)}
+    import optax
+
+    up, state = opt.update(grads, state, params)
+    new = optax.apply_updates(params, up)
+
+    tp = torch.nn.Parameter(torch.tensor(w0))
+    topt = torch.optim.Adam([tp], lr=1e-2, weight_decay=0.1)
+    tp.grad = torch.tensor([0.3, 0.1, -0.2])
+    topt.step()
+    np.testing.assert_allclose(np.asarray(new["w"]), tp.detach().numpy(), atol=1e-6)
+
+
+def test_multisteps_accumulation():
+    cfg = Config(optimizer="adamw", learning_rate=1e-3, grad_accum_steps=3)
+    opt = build_optimizer(cfg)
+    params = {"w": jnp.zeros((2,))}
+    state = opt.init(params)
+    import optax
+
+    for i in range(2):  # first 2 micro-steps: no update applied
+        up, state = opt.update({"w": jnp.ones((2,))}, state, params)
+        assert float(jnp.abs(up["w"]).sum()) == 0.0
+    up, state = opt.update({"w": jnp.ones((2,))}, state, params)
+    assert float(jnp.abs(up["w"]).sum()) > 0.0
+    # lr injection reaches through the MultiSteps wrapper
+    state = set_learning_rate(state, 5e-4)
+
+
+def test_partition_combine_roundtrip():
+    params = {"a": jnp.ones(2), "b": {"c": jnp.zeros(3), "d": jnp.ones(1)}}
+    mask = {"a": True, "b": {"c": False, "d": True}}
+    tr, fr = partition(params, mask)
+    assert tr["b"]["c"] is None and fr["a"] is None
+    back = combine(tr, fr)
+    assert jax.tree_util.tree_structure(back) == jax.tree_util.tree_structure(params)
+    np.testing.assert_array_equal(np.asarray(back["b"]["c"]), np.zeros(3))
