@@ -31,7 +31,9 @@ def get_dataset(cfg: Config, mode: str = "train") -> PatchDataset:
     if name.startswith("synthetic"):
         from fluid_llm_tpu.data.synthetic import SyntheticCylinderDataset
 
-        return SyntheticCylinderDataset(**common)
+        # "synthetic" or "synthetic:<n_trajectories>"
+        n_traj = int(name.split(":", 1)[1]) if ":" in name else 4
+        return SyntheticCylinderDataset(n_trajectories=n_traj, **common)
     raise ValueError(f"Invalid dataset {name}")
 
 
