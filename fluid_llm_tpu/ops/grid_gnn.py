@@ -95,29 +95,49 @@ def gatv2_conv_apply(
     x_r_h = x_r.reshape(*lead, heads, out_dim)
 
     att = params["att"].astype(dtype)  # (heads, out_dim)
-    logits = []
-    values = []
-    masks = []
-    for dx, dy in _SHIFTS:
-        xj_flat, valid = _shift_grid(x_l, dx, dy)
-        xj = xj_flat.reshape(*lead, heads, out_dim)
-        e = jax.nn.leaky_relu(x_r_h + xj, NEG_SLOPE)  # (..., X, Y, H, C)
-        logit = jnp.einsum("...hc,hc->...h", e, att)
-        logits.append(logit)
-        values.append(xj)
-        masks.append(valid)
-    logits = jnp.stack(logits, axis=-2)  # (..., X, Y, S, H)
-    values = jnp.stack(values, axis=-3)  # (..., X, Y, S, H, C)
-    mask = jnp.stack(masks, axis=-1)  # (X, Y, S)
 
-    mask_b = mask[..., :, None]  # (X, Y, S, H)
-    logits = jnp.where(mask_b, logits.astype(jnp.float32), -jnp.inf)
-    alpha = jax.nn.softmax(logits, axis=-2).astype(dtype)
     if dropout > 0.0 and rng is not None:
+        # attention-dropout path needs explicit alphas: materialise slots
+        logits, values, masks = [], [], []
+        for dx, dy in _SHIFTS:
+            xj_flat, valid = _shift_grid(x_l, dx, dy)
+            xj = xj_flat.reshape(*lead, heads, out_dim)
+            e = jax.nn.leaky_relu(x_r_h + xj, NEG_SLOPE)
+            logits.append(jnp.einsum("...hc,hc->...h", e, att))
+            values.append(xj)
+            masks.append(valid)
+        logits = jnp.stack(logits, axis=-2)  # (..., X, Y, S, H)
+        values = jnp.stack(values, axis=-3)  # (..., X, Y, S, H, C)
+        mask = jnp.stack(masks, axis=-1)[..., :, None]  # (X, Y, S, 1)
+        logits = jnp.where(mask, logits.astype(jnp.float32), -jnp.inf)
+        alpha = jax.nn.softmax(logits, axis=-2).astype(dtype)
         keep = jax.random.bernoulli(rng, 1.0 - dropout, alpha.shape)
         alpha = jnp.where(keep, alpha / (1.0 - dropout), 0.0)
+        out = jnp.einsum("...shc,...sh->...hc", values, alpha)
+    else:
+        # two-pass online softmax over the (at most 5) slots: never stacks
+        # the (..., S, H, C) values tensor — the decoder runs this over the
+        # full pixel grid, so the saved HBM intermediate is large
+        m = jnp.full((*lead, heads), -jnp.inf, jnp.float32)
+        for dx, dy in _SHIFTS:
+            xj_flat, valid = _shift_grid(x_l, dx, dy)
+            xj = xj_flat.reshape(*lead, heads, out_dim)
+            e = jax.nn.leaky_relu(x_r_h + xj, NEG_SLOPE)
+            logit = jnp.einsum("...hc,hc->...h", e, att).astype(jnp.float32)
+            logit = jnp.where(valid[..., None], logit, -jnp.inf)
+            m = jnp.maximum(m, logit)
+        denom = jnp.zeros((*lead, heads), jnp.float32)
+        acc = jnp.zeros((*lead, heads, out_dim), jnp.float32)
+        for dx, dy in _SHIFTS:
+            xj_flat, valid = _shift_grid(x_l, dx, dy)
+            xj = xj_flat.reshape(*lead, heads, out_dim)
+            e = jax.nn.leaky_relu(x_r_h + xj, NEG_SLOPE)
+            logit = jnp.einsum("...hc,hc->...h", e, att).astype(jnp.float32)
+            w = jnp.where(valid[..., None], jnp.exp(logit - m), 0.0)
+            denom = denom + w
+            acc = acc + w[..., None] * xj.astype(jnp.float32)
+        out = (acc / denom[..., None]).astype(dtype)
 
-    out = jnp.einsum("...shc,...sh->...hc", values, alpha)
     out = out.reshape(*lead, heads * out_dim)
     if "bias" in params:
         out = out + params["bias"].astype(dtype)
