@@ -310,7 +310,9 @@ def main(argv=None):
     parser.add_argument("--alpha", type=float, default=0.1)
     parser.add_argument("--horizon_val", type=int, default=5)
     parser.add_argument("--horizon_train", type=int, default=5)
-    parser.add_argument("--horizon_eval", type=int, default=101)
+    # reference eval horizons: MGN/DRN 101-step windows (``eval_mgn.py:29``,
+    # ``eval_DRN.py:43``), GraphViT 51 (``eval_graphvit.py:77``)
+    parser.add_argument("--horizon_eval", type=int, default=None)
     parser.add_argument("--n_processor", type=int, default=15)
     parser.add_argument("--n_heads", type=int, default=4)
     parser.add_argument("--n_cluster", type=int, default=10)
@@ -320,6 +322,8 @@ def main(argv=None):
     parser.add_argument("--name", default="run")
     parser.add_argument("--save_dir", default="trained_models")
     args = parser.parse_args(argv)
+    if args.horizon_eval is None:
+        args.horizon_eval = 51 if args.model == "graphvit" else 101
 
     if args.model == "dilresnet":
         run_dilresnet(args)
