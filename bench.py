@@ -101,4 +101,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # emit a valid record even on failure
+        print(f"bench failed: {e}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "rollout_steps_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "steps/s",
+            "vs_baseline": 0.0,
+        }))
+        raise

@@ -106,6 +106,7 @@ def main(argv=None):
     parser.add_argument("--pred_steps", type=int, default=251)
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--plot_dir", default=None)
+    parser.add_argument("--csv", default=None, help="write per-step N-RMSE CSV")
     args = parser.parse_args(argv)
 
     set_seed()
@@ -122,10 +123,19 @@ def main(argv=None):
     state = ckpt.restore_checkpoint(load_path, step, like)
 
     test_ds = get_dataset(cfg.replace(seq_len=args.seq_len), mode="test")
-    test_generate(
+    per_step, mean = test_generate(
         model, state.params, test_ds,
         batch_size=args.batch_size, pred_steps=args.pred_steps, plot_dir=args.plot_dir,
     )
+    if args.csv:
+        import csv as _csv
+
+        with open(args.csv, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["step", "n_rmse"])
+            for s, v in enumerate(per_step):
+                w.writerow([s, float(v)])
+        logger.info("wrote %s", args.csv)
 
 
 if __name__ == "__main__":
