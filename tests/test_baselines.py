@@ -200,3 +200,17 @@ def test_eagle_nrmse_zero_for_identical():
     np.testing.assert_allclose(nrmse, 0.0, atol=1e-6)
     nrmse2 = get_nrmse(states, states * 1.1, pos, faces, resolution=48)
     assert (nrmse2 > 0).all()
+
+
+def test_gatnet_forward(rng):
+    from fluid_llm_tpu.models.baselines.gatnet import GATNetConfig, gatnet_apply, gatnet_init
+
+    cfg = GATNetConfig(gnn_layers=3, gnn_dim=8, gnn_heads=2, mlp_hid_dim=16)
+    params = gatnet_init(jax.random.PRNGKey(0), vertex_dim=5, edge_dim=3, out_dim=4, cfg=cfg)
+    B, N, E = 2, 12, 30
+    V = jnp.asarray(rng.normal(size=(B, N, 5)).astype(np.float32))
+    Ef = jnp.asarray(rng.normal(size=(B, E, 3)).astype(np.float32))
+    edges = jnp.asarray(rng.integers(0, N, size=(B, E, 2)))
+    out = gatnet_apply(params, V, Ef, edges, out_dim=4, cfg=cfg)
+    assert out.shape == (B, N, 4)
+    assert np.isfinite(np.asarray(out)).all()
