@@ -3,4 +3,5 @@
 # A single process drives all local TPU devices via the mesh in the config;
 # bf16 comes from half_precision in the YAML.
 set -e
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$HOME/.cache/fluid_llm_tpu_xla}"
 python -m fluid_llm_tpu.main --config_path "${1:-configs/training1.yaml}"
