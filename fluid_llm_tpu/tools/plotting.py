@@ -35,6 +35,21 @@ def plot_patches(state: np.ndarray, n_patch: tuple[int, int], out_path: str):
     plt.close(fig)
 
 
+def plot_full_patches(state: np.ndarray, n_patch: tuple[int, int], out_path: str):
+    """Patches stitched into one image (``mesh_utils.py:44-61``)."""
+    x_count, y_count = n_patch
+    y_px, x_px = state.shape[1], state.shape[2]
+    full = np.zeros((y_count * y_px, x_count * x_px), np.float32)
+    for i in range(y_count):
+        for j in range(x_count):
+            full[i * y_px:(i + 1) * y_px, j * x_px:(j + 1) * x_px] = state[i + j * y_count].T
+    fig = plt.figure()
+    plt.imshow(full)
+    plt.axis("off")
+    fig.savefig(out_path)
+    plt.close(fig)
+
+
 def plot_mesh(pos: np.ndarray, faces: np.ndarray, val: np.ndarray, out_path: str):
     """tripcolor + wireframe (``mesh_utils.py:109-123``)."""
     from matplotlib import tri as mtri

@@ -127,3 +127,42 @@ def test_train_run_with_mesh(tmp_path):
                       log_fn=lambda m, e: logs.append(m), mesh=mesh)
     assert state.epoch == 1
     assert any("train/Autoreg/loss" in m for m in logs)
+
+
+def test_llama_family_tp_train_step():
+    """Stretch-config path: rope + RMSNorm + GQA backbone, tensor-parallel
+    sharding, LoRA adapters — one sharded train step end-to-end."""
+    from fluid_llm_tpu.config import Config
+    from fluid_llm_tpu.data.pipeline import make_batches
+    from fluid_llm_tpu.data.synthetic import SyntheticCylinderDataset
+    from fluid_llm_tpu.models.fluid_llm import FluidLLM
+
+    cfg = Config(
+        llm_backbone="huggyllama/llama-7b", llm_layers=2, half_precision=False,
+        use_lora=True, batch_size=2, autoreg_seq_len=4, seq_len=4,
+        resolution=64, flash_attention=False,
+        decoder_params={"type": "MLP", "num_layers": 2, "hidden_dim": 32,
+                        "activation": "leakyrelu", "zero_last_layer": False},
+        encoder_params={"type": "MLP", "num_layers": 2, "hidden_dim": 32,
+                        "activation": "leakyrelu"},
+    )
+    ds = SyntheticCylinderDataset(n_trajectories=8, resolution=64, seq_len=4, mode="valid")
+    model = FluidLLM.build(
+        cfg, ds.ds_props(),
+        n_layers=2, d_model=64, n_heads=8, n_kv_heads=4, d_ff=128,
+        max_pos=128, dropout=0.0,
+    )
+    assert model.backbone_cfg.family == "llama"
+    batch = next(make_batches(ds, 8, shuffle=False))
+
+    par = ParallelConfig(model_axis=2, fsdp_axis=2)
+    mesh = make_mesh(par)
+    trainer = Trainer(model)
+    params = shard_params(model.init(jax.random.PRNGKey(0)), mesh, par)
+    mask = model.trainable_mask(params)
+    trainable, frozen = partition(params, mask)
+    opt_state = trainer.opt.init(trainable)
+    tr, opt, metrics = trainer.train_step_autoreg(
+        trainable, frozen, opt_state, shard_batch(batch, mesh), jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["loss"]))
