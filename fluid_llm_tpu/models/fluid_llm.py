@@ -198,7 +198,8 @@ class FluidLLM:
         states: jnp.ndarray,
         position_ids: jnp.ndarray,
         frame_valid: jnp.ndarray,
-        frame_idx: jnp.ndarray,
+        frame_idx,
+        init_frame: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None,
     ) -> jnp.ndarray:
         """Rollout hot path: full-window backbone, *single-frame* decode.
 
@@ -208,14 +209,26 @@ class FluidLLM:
         saves the MLPGNN grid pass over all other window frames — the
         dominant non-backbone cost at rollout time.
 
+        ``init_frame``: optional (state, position_ids) to use as the
+        see-init duplicated frame instead of ``states[:, 0]`` — needed by
+        the right-aligned rollout window where the first *valid* frame is
+        not at index 0.  When ``frame_idx`` is a python int, the decode
+        slice is fully static.
+
         Returns the diff image for window frame ``frame_idx``: (bs, 3, X, Y).
         """
         cfg = self.cfg
         bs, seq_len, n_patch = states.shape[:3]
         if cfg.see_init_state:
-            states = jnp.concatenate([states[:, :1], states], axis=1)
-            position_ids = jnp.concatenate([position_ids[:, :1], position_ids], axis=1)
-            frame_valid = jnp.concatenate([frame_valid[:, :1], frame_valid], axis=1)
+            dup_s, dup_p = (
+                init_frame if init_frame is not None
+                else (states[:, 0], position_ids[:, 0])
+            )
+            states = jnp.concatenate([dup_s[:, None], states], axis=1)
+            position_ids = jnp.concatenate([dup_p[:, None], position_ids], axis=1)
+            frame_valid = jnp.concatenate(
+                [jnp.ones((bs, 1), bool), frame_valid], axis=1
+            )
             out_idx = frame_idx + 1  # drop the duplicated-frame prediction
             seq_len += 1
         else:

@@ -35,16 +35,6 @@ from fluid_llm_tpu.ops.patching import img_to_patch, patch_to_img
 Params = dict[str, Any]
 
 
-def _window_pos_ids(position_ids: jnp.ndarray, W: int) -> jnp.ndarray:
-    """Window position ids: spatial ids from frame 0 (identical across
-    frames), t = frame index (the re-zeroed layout, ``model.py:196-199``)."""
-    bs, _, n, _ = position_ids.shape
-    spatial = position_ids[:, :1, :, :2]  # (bs, 1, N, 2)
-    spatial = jnp.broadcast_to(spatial, (bs, W, n, 2))
-    t = jnp.broadcast_to(jnp.arange(W, dtype=position_ids.dtype)[None, :, None, None], (bs, W, n, 1))
-    return jnp.concatenate([spatial, t], axis=-1)
-
-
 def generate(
     model: FluidLLM,
     params: Params,
@@ -68,41 +58,54 @@ def generate(
     bs, init_len, n_patch = init_states.shape[:3]
     W = model.max_ctx_len
 
+    # RIGHT-aligned window: the newest frame always sits at index W-1, so
+    # the single-frame decode slice is static for every step.  Not-yet-
+    # filled slots occupy the *front* and are masked out of attention
+    # (cumsum-based positions in the backbone keep learned-position indices
+    # identical to the dense computation).
     buffer = jnp.zeros((bs, W) + init_states.shape[2:], init_states.dtype)
-    buffer = buffer.at[:, :init_len].set(init_states)
-    wpos = _window_pos_ids(position_ids, W)
+    buffer = buffer.at[:, W - init_len:].set(init_states)
+    spatial = jnp.broadcast_to(
+        position_ids[:, :1, :, :2], (bs, W, n_patch, 2)
+    ).astype(position_ids.dtype)
+    # the see-init duplicated frame always carries t=0
+    dup_pos = jnp.concatenate(
+        [spatial[:, 0], jnp.zeros((bs, n_patch, 1), position_ids.dtype)], axis=-1
+    )
+    slot = jnp.arange(W)[None, :]
 
     def step(buffer, i):
-        # frames in window *before* this prediction
-        k = jnp.minimum(init_len + i, W)
-        frame_valid = jnp.arange(W)[None, :] < k
-        frame_valid = jnp.broadcast_to(frame_valid, (bs, W))
+        k = jnp.minimum(init_len + i, W)  # frames currently in the window
+        start = W - k
+        frame_valid = jnp.broadcast_to(slot >= start, (bs, W))
+        # re-zeroed time ids (``model.py:196-199``): valid frame j -> j-start
+        t_ids = jnp.maximum(slot - start, 0).astype(position_ids.dtype)
+        wpos = jnp.concatenate(
+            [spatial, jnp.broadcast_to(t_ids[:, :, None, None], (bs, W, n_patch, 1))],
+            axis=-1,
+        )
+        # see-init duplicates the first *valid* frame (``model.py:118-126``)
+        first_valid = jax.vmap(
+            lambda b, s: jax.lax.dynamic_index_in_dim(b, s, 0, False)
+        )(buffer, jnp.broadcast_to(start, (bs,)))
 
-        # full-window backbone, single-frame decode (exact; see
-        # ``FluidLLM.predict_frame_diff``) — prediction from the last valid
-        # frame (``model.py:163``)
+        # full-window backbone, static single-frame decode (exact; see
+        # ``FluidLLM.predict_frame_diff``) — prediction from the last frame
+        # (``model.py:163``)
         last_img = model.predict_frame_diff(
-            params, buffer, wpos, frame_valid, k - 1
-        )  # (bs, 3, X, Y)
-        diffs = img_to_patch(last_img[:, None], model.ds_props)[:, 0]  # (bs, N, 3, px, py)
+            params, buffer, wpos, frame_valid, W - 1,
+            init_frame=(first_valid, dup_pos),
+        )
+        diffs = img_to_patch(last_img[:, None], model.ds_props)[:, 0]
 
-        # bc forcing with the mask of the last available state (``model.py:202,206``)
+        # bc forcing with the mask of the last available state
+        # (``model.py:202,206``)
         step_idx = jnp.minimum(init_len + i - 1, bc_mask.shape[1] - 1)
         mask = jax.lax.dynamic_index_in_dim(bc_mask, step_idx, 1, False)
         diffs = jnp.where(mask, 0.0, diffs)
 
-        last_state = jax.vmap(lambda b, kk: jax.lax.dynamic_index_in_dim(b, kk, 0, False))(
-            buffer, jnp.broadcast_to(k - 1, (bs,))
-        )
-        next_state = last_state + diffs
-
-        # append: roll left if full, then write at min(k, W-1)
-        full = (init_len + i) >= W
-        shifted = jnp.where(full, jnp.roll(buffer, -1, axis=1), buffer)
-        write_idx = jnp.minimum(k, W - 1)
-        new_buffer = jax.vmap(
-            lambda b, ns, wi: jax.lax.dynamic_update_index_in_dim(b, ns, wi, 0)
-        )(shifted, next_state, jnp.broadcast_to(write_idx, (bs,)))
+        next_state = buffer[:, W - 1] + diffs
+        new_buffer = jnp.concatenate([buffer[:, 1:], next_state[:, None]], axis=1)
         return new_buffer, (next_state, diffs)
 
     step_fn = jax.checkpoint(step) if remat else step
