@@ -79,8 +79,12 @@ def patch_decoder_apply(
     # MLPGNN
     h = mlp_apply(params["mlp"], tokens, "softplus")  # (bs, seq, N_patch, opx*opy*gnn)
     grid = fold_features(h, ds_props, cfg.gnn_dim)  # (bs, seq, X, Y, gnn_dim)
+    import os
+
     preds = grid_gat_stack_apply(
         params["gnn"], grid, cfg.gnn_hid_dim, 3, cfg.gnn_heads,
         dropout=cfg.dropout if train else 0.0, rng=rng,
+        # the fused Pallas kernel is inference-default (see ops/grid_gnn.py)
+        allow_fused=(not train) or os.environ.get("FLUID_GNN_FUSED_BWD") == "1",
     )
     return preds

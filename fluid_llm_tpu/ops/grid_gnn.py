@@ -78,6 +78,7 @@ def gatv2_conv_apply(
     *,
     dropout: float = 0.0,
     rng: Optional[jax.Array] = None,
+    allow_fused: bool = True,
 ) -> jnp.ndarray:
     """x: (..., X, Y, in_dim) -> (..., X, Y, heads*out_dim) (concat layout)."""
     dtype = x.dtype
@@ -95,6 +96,27 @@ def gatv2_conv_apply(
     x_r_h = x_r.reshape(*lead, heads, out_dim)
 
     att = params["att"].astype(dtype)  # (heads, out_dim)
+
+    # fused Pallas path: one VMEM-resident pass instead of ~25 HBM passes —
+    # inference only by default (the fused backward compiles on some
+    # toolchains only; the XLA-recompute backward would be slower than the
+    # plain XLA path, so training keeps XLA unless FLUID_GNN_FUSED_BWD=1)
+    if allow_fused and not (dropout > 0.0 and rng is not None):
+        try:
+            from fluid_llm_tpu.ops import grid_gnn_pallas as gp
+
+            if jax.default_backend() == "tpu" and gp.supported(x_l.shape, heads, out_dim):
+                bf_shape = (-1,) + x_l.shape[-3:]
+                out = gp.fused_slot_attention(
+                    x_l.reshape(bf_shape), x_r.reshape(bf_shape),
+                    params["att"].astype(x_l.dtype), heads, out_dim,
+                )
+                out = out.reshape(*lead, heads * out_dim)
+                if "bias" in params:
+                    out = out + params["bias"].astype(dtype)
+                return out
+        except Exception:
+            pass  # fall through to the XLA formulation
 
     if dropout > 0.0 and rng is not None:
         # attention-dropout path needs explicit alphas: materialise slots
@@ -170,12 +192,15 @@ def grid_gat_stack_apply(
     *,
     dropout: float = 0.0,
     rng: Optional[jax.Array] = None,
+    allow_fused: bool = True,
 ) -> jnp.ndarray:
     """x: (..., X, Y, in_dim) -> (..., X, Y, out_dim); softplus between convs
     (``GCN.py:46-50``)."""
     n_drop = len(params["convs"]) + 1
     rngs = jax.random.split(rng, n_drop) if (rng is not None and dropout > 0) else [None] * n_drop
     for i, conv in enumerate(params["convs"]):
-        x = gatv2_conv_apply(conv, x, heads, hid_dim // heads, dropout=dropout, rng=rngs[i])
+        x = gatv2_conv_apply(conv, x, heads, hid_dim // heads, dropout=dropout,
+                             rng=rngs[i], allow_fused=allow_fused)
         x = jax.nn.softplus(x)
-    return gatv2_conv_apply(params["out"], x, 1, out_dim, dropout=dropout, rng=rngs[-1])
+    return gatv2_conv_apply(params["out"], x, 1, out_dim, dropout=dropout,
+                            rng=rngs[-1], allow_fused=allow_fused)

@@ -81,3 +81,62 @@ def test_stack_shapes(rng):
     out = grid_gat_stack_apply(params, x, 12, 3, heads=2)
     assert out.shape == (2, 10, 6, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def _xla_slot_attention(xl, xr, att, heads, cdim):
+    """Dense reference for the fused kernel (same math as gatv2_conv_apply
+    after the linear transforms)."""
+    from fluid_llm_tpu.ops.grid_gnn import _SHIFTS, _shift_grid
+
+    lead = xl.shape[:-1]
+    xr_h = xr.reshape(*lead, heads, cdim)
+    logits, values, masks = [], [], []
+    for dx, dy in _SHIFTS:
+        xj_flat, valid = _shift_grid(xl, dx, dy)
+        xj = xj_flat.reshape(*lead, heads, cdim)
+        e = jax.nn.leaky_relu(xr_h + xj, NEG_SLOPE)
+        logits.append(jnp.einsum("...hc,hc->...h", e, att))
+        values.append(xj)
+        masks.append(valid)
+    logits = jnp.stack(logits, axis=-2)
+    values = jnp.stack(values, axis=-3)
+    mask = jnp.stack(masks, axis=-1)[..., :, None]
+    logits = jnp.where(mask, logits, -jnp.inf)
+    alpha = jax.nn.softmax(logits, axis=-2)
+    out = jnp.einsum("...shc,...sh->...hc", values, alpha)
+    return out.reshape(*lead, heads * cdim)
+
+
+def test_fused_kernel_matches_xla_interpret(rng):
+    from fluid_llm_tpu.ops.grid_gnn_pallas import fused_slot_attention
+
+    Bf, X, Y, H, C = 2, 8, 8, 2, 4
+    xl = jnp.asarray(rng.normal(size=(Bf, X, Y, H * C)).astype(np.float32))
+    xr = jnp.asarray(rng.normal(size=(Bf, X, Y, H * C)).astype(np.float32))
+    att = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32))
+
+    out = fused_slot_attention(xl, xr, att, H, C, True)
+    ref = _xla_slot_attention(xl, xr, att, H, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_kernel_grads_match_interpret(rng):
+    from fluid_llm_tpu.ops.grid_gnn_pallas import fused_slot_attention
+
+    Bf, X, Y, H, C = 1, 8, 8, 1, 4
+    xl = jnp.asarray(rng.normal(size=(Bf, X, Y, H * C)).astype(np.float32))
+    xr = jnp.asarray(rng.normal(size=(Bf, X, Y, H * C)).astype(np.float32))
+    att = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(Bf, X, Y, H * C)).astype(np.float32))
+
+    def loss_fused(xl_, xr_, att_):
+        return ((fused_slot_attention(xl_, xr_, att_, H, C, True) - tgt) ** 2).sum()
+
+    def loss_ref(xl_, xr_, att_):
+        return ((_xla_slot_attention(xl_, xr_, att_, H, C) - tgt) ** 2).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(xl, xr, att)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(xl, xr, att)
+    for a, b, name in zip(g1, g2, ["xl", "xr", "att"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   err_msg=name)
