@@ -214,3 +214,44 @@ def test_gatnet_forward(rng):
     out = gatnet_apply(params, V, Ef, edges, out_dim=4, cfg=cfg)
     assert out.shape == (B, N, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_eagle_mgn_dataset_pkl_end_to_end(tmp_path, rng):
+    """Real-format pkl -> EagleMGNDataset -> collate -> MGN forward."""
+    import pickle
+
+    from fluid_llm_tpu.data.eagle_mesh import EagleMGNDataset, iterate_graph_batches
+    from fluid_llm_tpu.data.synthetic import analytic_flow, make_cylinder_mesh
+
+    d = tmp_path / "train"
+    d.mkdir()
+    for i in range(2):
+        pos, faces = make_cylinder_mesh(60 + i, 14, 8)
+        states = analytic_flow(pos, 130, 60 + i)
+        node_type = np.zeros((len(pos), 1), np.int64)
+        node_type[pos[:, 0] <= pos[:, 0].min()] = 4
+        data = {
+            "mesh_pos": pos.astype(np.float32),
+            "cells": faces,
+            "node_type": node_type,
+            "velocity": states[:, :2].transpose(0, 2, 1),
+            "pressure": states[:, 2:].transpose(0, 2, 1),
+        }
+        with open(d / f"save_{i}.pkl", "wb") as f:
+            pickle.dump(data, f)
+
+    ds = EagleMGNDataset(str(tmp_path), mode="train", window_length=3,
+                         normalize=False, max_steps=130)
+    sample = ds[0]
+    assert sample.state.shape[-1] == 4  # [Vx, Vy, P, P]
+    assert sample.node_type.shape[-1] == 9
+
+    batch = next(iterate_graph_batches(ds, 2, shuffle=False))
+    params, norm = mgn_init(jax.random.PRNGKey(0), state_size=4, n_processor=2)
+    sh, oh, tgt, _ = mgn_apply(
+        params, norm,
+        jnp.asarray(batch["mesh_pos"]), jnp.asarray(batch["edges"], jnp.int32),
+        jnp.asarray(batch["state"]), jnp.asarray(batch["node_type"]),
+        train=False,
+    )
+    assert np.isfinite(np.asarray(sh)).all()
