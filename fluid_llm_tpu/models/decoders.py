@@ -21,6 +21,7 @@ and intentionally omitted (SURVEY.md §7 quirks list).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -79,8 +80,6 @@ def patch_decoder_apply(
     # MLPGNN
     h = mlp_apply(params["mlp"], tokens, "softplus")  # (bs, seq, N_patch, opx*opy*gnn)
     grid = fold_features(h, ds_props, cfg.gnn_dim)  # (bs, seq, X, Y, gnn_dim)
-    import os
-
     preds = grid_gat_stack_apply(
         params["gnn"], grid, cfg.gnn_hid_dim, 3, cfg.gnn_heads,
         dropout=cfg.dropout if train else 0.0, rng=rng,

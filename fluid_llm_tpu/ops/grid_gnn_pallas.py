@@ -27,7 +27,6 @@ Weight/bias grads are recovered outside the kernel from d x_l / d x_r.
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp

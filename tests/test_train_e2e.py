@@ -58,3 +58,20 @@ def test_training_reduces_loss():
         )
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_profiler_trace_capture(tmp_path):
+    """cfg.profile_dir captures a jax.profiler trace of epoch 0 (the
+    observability addition over the reference, SURVEY.md §5)."""
+    import os
+
+    cfg, ds, props, model, batch = tiny_setup(seq_len=4, decoder="MLP")
+    cfg = cfg.replace(num_epochs=1, save_on=False, profile_dir=str(tmp_path / "trace"))
+    model = model.__class__(cfg=cfg, ds_props=model.ds_props, backbone_cfg=model.backbone_cfg)
+    trainer = Trainer(model)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    train_run(cfg, trainer, state, ds, ds, rng=jax.random.PRNGKey(1))
+    found = []
+    for root, _, files in os.walk(tmp_path / "trace"):
+        found.extend(files)
+    assert found, "no trace files written"
