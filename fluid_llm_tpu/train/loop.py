@@ -73,7 +73,10 @@ def train_run(
 
     for epoch_idx in range(cfg.num_epochs):
         epoch = epoch_idx + start_ep
-        state.opt_state = set_learning_rate(state.opt_state, lr_schedule(epoch_idx))
+        # schedule indexed by the GLOBAL epoch: on resume the reference
+        # restores scheduler state (``continue_train.py:35-36``), i.e. the
+        # decay continues rather than restarting
+        state.opt_state = set_learning_rate(state.opt_state, lr_schedule(epoch))
         step_fn, run_mode = select_run_mode(trainer, cfg, epoch)
 
         profiling = cfg.profile_dir and epoch_idx == 0
@@ -94,7 +97,7 @@ def train_run(
             jax.profiler.stop_trace()
 
         train_log, loss, nrmse = process_metrics(train_metrics, run_mode, "train")
-        train_log["lr"] = lr_schedule(epoch_idx)
+        train_log["lr"] = lr_schedule(epoch)
 
         if epoch_idx % 3 == 0:
             val_metrics = [

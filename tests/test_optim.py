@@ -83,3 +83,27 @@ def test_partition_combine_roundtrip():
     back = combine(tr, fr)
     assert jax.tree_util.tree_structure(back) == jax.tree_util.tree_structure(params)
     np.testing.assert_array_equal(np.asarray(back["b"]["c"]), np.zeros(3))
+
+
+def test_lr_schedule_continues_on_resume():
+    """Resumed training must continue the StepLR decay at the global epoch
+    (the reference restores scheduler state, continue_train.py:35-36)."""
+    from test_model import tiny_setup
+
+    from fluid_llm_tpu.train.loop import train_run
+    from fluid_llm_tpu.train.trainer import Trainer
+
+    cfg, ds, props, model, batch = tiny_setup(seq_len=4, decoder="MLP")
+    cfg = cfg.replace(num_epochs=1, save_on=False, schedule_epoch=50,
+                      schedule_gamma=0.5, learning_rate=1e-3)
+    model = model.__class__(cfg=cfg, ds_props=model.ds_props,
+                            backbone_cfg=model.backbone_cfg)
+    trainer = Trainer(model)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    logs = []
+    train_run(cfg, trainer, state, ds, ds, start_ep=120,
+              rng=jax.random.PRNGKey(1), log_fn=lambda m, e: logs.append((e, m)))
+    epoch, metrics = logs[0]
+    assert epoch == 120
+    # epoch 120 with step 50 / gamma 0.5 -> lr * 0.5**2
+    np.testing.assert_allclose(metrics["lr"], 1e-3 * 0.25, rtol=1e-9)
