@@ -18,16 +18,17 @@ def get_dataset(cfg: Config, mode: str = "train") -> PatchDataset:
         mode=mode,
         normalize=cfg.normalize_ds,
     )
-    if name in ("./ds/MGN/cylinder_dataset", "cylinder"):
-        from fluid_llm_tpu.data.cylinder import MGNDataset
-
-        load_dir = "./ds/MGN/cylinder_dataset" if name == "cylinder" else name
-        return MGNDataset(load_dir=f"{load_dir}/{mode}", **common)
-    if name in ("./ds/MGN/airfoil_dataset", "airfoil"):
+    # route by substring like the reference's eval loader (``inference.py:28-45``)
+    if "airfoil" in name:
         from fluid_llm_tpu.data.airfoil import AirfoilDataset
 
         load_dir = "./ds/MGN/airfoil_dataset" if name == "airfoil" else name
         return AirfoilDataset(load_dir=f"{load_dir}/{mode}", **common)
+    if "cylinder" in name or name.startswith("./ds/MGN"):
+        from fluid_llm_tpu.data.cylinder import MGNDataset
+
+        load_dir = "./ds/MGN/cylinder_dataset" if name == "cylinder" else name
+        return MGNDataset(load_dir=f"{load_dir}/{mode}", **common)
     if name.startswith("synthetic"):
         from fluid_llm_tpu.data.synthetic import SyntheticCylinderDataset
 
