@@ -199,6 +199,8 @@ class EagleDroneDataset:
 
         state = np.concatenate([vel, press], axis=-1)
         nt = one_hot9(node_type)
+        if nt.ndim == 4 and nt.shape[-2] == 1:  # (T, N, 1) codes (``eagle.py:71``)
+            nt = nt.squeeze(-2)
         # EAGLE meshes change per step; use the first step's topology for the
         # static edge list (matching the per-window treatment upstream)
         edges = faces_to_edges(np.asarray(cells[0], np.int64))

@@ -255,3 +255,65 @@ def test_eagle_mgn_dataset_pkl_end_to_end(tmp_path, rng):
         train=False,
     )
     assert np.isfinite(np.asarray(sh)).all()
+
+
+def test_eagle_drone_dataset_npz(tmp_path, rng):
+    """EAGLE npz layout (sim.npz + triangles.npy) -> GraphSample -> model."""
+    from fluid_llm_tpu.data.eagle_mesh import EagleDroneDataset, collate_graphs
+    from fluid_llm_tpu.data.synthetic import analytic_flow, make_cylinder_mesh
+
+    pos, faces = make_cylinder_mesh(77, 12, 7)
+    T = 990
+    states = analytic_flow(pos, T, 77)  # (T, 3, N)
+    sim_dir = tmp_path / "traj_0"
+    sim_dir.mkdir()
+    np.savez(
+        sim_dir / "sim.npz",
+        pointcloud=np.repeat(pos[None], T, 0).astype(np.float32),
+        VX=states[:, 0], VY=states[:, 1],
+        PS=states[:, 2], PG=states[:, 2] * 0.5,
+        mask=np.zeros((T, len(pos), 1), np.int64),
+    )
+    np.save(sim_dir / "triangles.npy", np.repeat(faces[None], T, 0))
+
+    ds = EagleDroneDataset(str(tmp_path), mode="valid", window_length=4, normalize=True)
+    assert len(ds) == 1
+    s = ds[0]
+    assert s.state.shape == (4, len(pos), 4)
+    assert s.mesh_pos.shape == (4, len(pos), 2)
+    assert np.isfinite(s.state).all()
+
+    batch = collate_graphs([s], s.mesh_pos.shape[1], s.edges.shape[0], 1, 1)
+    params, norm = mgn_init(jax.random.PRNGKey(0), 4, 2)
+    sh, _, _, _ = mgn_apply(
+        params, norm, jnp.asarray(batch["mesh_pos"]),
+        jnp.asarray(batch["edges"], jnp.int32), jnp.asarray(batch["state"]),
+        jnp.asarray(batch["node_type"]), train=False,
+    )
+    assert np.isfinite(np.asarray(sh)).all()
+
+
+def test_eagle_drone_split_file(tmp_path):
+    """EAGLE Splits/<mode>.txt lists are honoured when present."""
+    from fluid_llm_tpu.data.eagle_mesh import EagleDroneDataset
+
+    # two trajectories, split file selecting only the second
+    import numpy as np2
+
+    from fluid_llm_tpu.data.synthetic import analytic_flow, make_cylinder_mesh
+
+    for name in ("a", "b"):
+        pos, faces = make_cylinder_mesh(5, 8, 5)
+        states = analytic_flow(pos, 990, 5)
+        d = tmp_path / name
+        d.mkdir()
+        np2.savez(d / "sim.npz", pointcloud=np2.repeat(pos[None], 990, 0),
+                  VX=states[:, 0], VY=states[:, 1], PS=states[:, 2],
+                  PG=states[:, 2], mask=np2.zeros((990, len(pos), 1), np2.int64))
+        np2.save(d / "triangles.npy", np2.repeat(faces[None], 990, 0))
+    (tmp_path / "Splits").mkdir()
+    (tmp_path / "Splits" / "valid.txt").write_text("b\n")
+
+    ds = EagleDroneDataset(str(tmp_path), mode="valid", window_length=3)
+    assert len(ds) == 1
+    assert ds.dataloc[0].endswith("b")
