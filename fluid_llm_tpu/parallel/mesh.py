@@ -110,8 +110,12 @@ def backbone_param_specs(backbone_params: dict, fsdp: bool, tp: bool) -> dict:
 
     spec: dict[str, Any] = {
         "layers": [layer_spec(l) for l in backbone_params["layers"]],
-        "final_norm": {k: P() for k in backbone_params["final_norm"]},
     }
+    if "final_norm" in backbone_params:  # absent for OPT-350m (post-LN)
+        spec["final_norm"] = {k: P() for k in backbone_params["final_norm"]}
+    if "project_in" in backbone_params:  # OPT-350m word_embed_proj_dim
+        spec["project_in"] = _fit(linear_spec("col"), backbone_params["project_in"])
+        spec["project_out"] = _fit(linear_spec("row"), backbone_params["project_out"])
     if "pos_embed" in backbone_params:
         spec["pos_embed"] = P(f)
     return spec

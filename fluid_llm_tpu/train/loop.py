@@ -92,7 +92,10 @@ def train_run(
             state.trainable, state.opt_state, metrics = step_fn(
                 state.trainable, state.frozen, state.opt_state, place(batch), step_rng
             )
-            train_metrics.append(jax.device_get(metrics))
+            # keep metrics on device: a per-step device_get would block host
+            # dispatch every step; one bulk transfer at epoch end instead
+            train_metrics.append(metrics)
+        train_metrics = jax.device_get(train_metrics)
         if profiling:
             jax.profiler.stop_trace()
 
@@ -100,10 +103,10 @@ def train_run(
         train_log["lr"] = lr_schedule(epoch)
 
         if epoch_idx % 3 == 0:
-            val_metrics = [
-                jax.device_get(trainer.val_step(state.trainable, state.frozen, place(batch)))
+            val_metrics = jax.device_get([
+                trainer.val_step(state.trainable, state.frozen, place(batch))
                 for batch in make_batches(valid_ds, cfg.batch_size, shuffle=False)
-            ]
+            ])
             val_log, val_loss, val_nrmse = process_metrics(val_metrics, "Gen", "val")
             train_log.update(val_log)
         else:

@@ -317,3 +317,93 @@ def test_eagle_drone_split_file(tmp_path):
     ds = EagleDroneDataset(str(tmp_path), mode="valid", window_length=3)
     assert len(ds) == 1
     assert ds.dataloc[0].endswith("b")
+
+
+def _write_graph_pkls(d, n_files=2, n_steps=130, x_scale=1.0):
+    import pickle
+
+    from fluid_llm_tpu.data.synthetic import analytic_flow, make_cylinder_mesh
+
+    d.mkdir(parents=True, exist_ok=True)
+    for i in range(n_files):
+        pos, faces = make_cylinder_mesh(60 + i, 14 + 2 * i, 8)
+        pos = pos * np.array([x_scale, 1.0])
+        states = analytic_flow(pos, n_steps, 60 + i)
+        node_type = np.zeros((len(pos), 1), np.int64)
+        data = {
+            "mesh_pos": pos.astype(np.float32),
+            "cells": faces,
+            "node_type": node_type,
+            "velocity": states[:, :2].transpose(0, 2, 1),
+            "pressure": states[:, 2:].transpose(0, 2, 1),
+        }
+        with open(d / f"save_{i}.pkl", "wb") as f:
+            pickle.dump(data, f)
+
+
+def test_airfoil_graph_dataset_crop_and_norm(tmp_path):
+    """AirfoilGraphDataset: spatial crop + the reference's airfoil constants
+    (``eagle/Dataloader/airfoil.py:78-90,146-168``)."""
+    from fluid_llm_tpu.data.eagle_mesh import (
+        AIRFOIL_G_PRESSURE_MEAN, AIRFOIL_G_PRESSURE_STD,
+        AIRFOIL_G_VELOCITY_MEAN, AIRFOIL_G_VELOCITY_STD,
+        AirfoilGraphDataset, EagleMGNDataset,
+    )
+
+    # x scaled to [0, 3.2]: nodes beyond x=2 must be cropped away
+    _write_graph_pkls(tmp_path / "train", x_scale=2.0)
+    raw = EagleMGNDataset(str(tmp_path), mode="train", window_length=3,
+                          normalize=False, max_steps=130)
+    ds = AirfoilGraphDataset(str(tmp_path), mode="train", window_length=3,
+                             normalize=False, max_steps=130)
+    s_raw, s = raw[0], ds[0]
+    assert s.mesh_pos.shape[1] < s_raw.mesh_pos.shape[1]
+    assert (s.mesh_pos[0, :, 0] > -0.5).all() and (s.mesh_pos[0, :, 0] < 2.0).all()
+    assert (s.mesh_pos[0, :, 1] > -0.75).all() and (s.mesh_pos[0, :, 1] < 0.75).all()
+    # faces reindexed into the cropped node range
+    assert s.faces.min() >= 0 and s.faces.max() < s.mesh_pos.shape[1]
+    assert s.edges.max() < s.mesh_pos.shape[1]
+
+    # normalization round-trip with the exact reference constants
+    dsn = AirfoilGraphDataset(str(tmp_path), mode="train", window_length=3,
+                              normalize=True, max_steps=130)
+    sn = dsn[0]
+    vel = sn.state[..., :2] * AIRFOIL_G_VELOCITY_STD + AIRFOIL_G_VELOCITY_MEAN
+    press = sn.state[..., 2:] * AIRFOIL_G_PRESSURE_STD + AIRFOIL_G_PRESSURE_MEAN
+    # the un-normalized dataset (same windows: same fixed rng construction)
+    ds2 = AirfoilGraphDataset(str(tmp_path), mode="train", window_length=3,
+                              normalize=False, max_steps=130)
+    s2 = ds2[0]
+    np.testing.assert_allclose(vel, s2.state[..., :2], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(press, s2.state[..., 2:], rtol=1e-4, atol=2e-1)
+
+
+def test_static_buckets_one_shape_per_epoch(tmp_path):
+    """Dataset-wide buckets: every batch of every epoch collates to the SAME
+    shapes (single XLA compile), and the scan result is disk-cached."""
+    import os
+
+    from fluid_llm_tpu.data.eagle_mesh import EagleMGNDataset, iterate_graph_batches
+
+    _write_graph_pkls(tmp_path / "train", n_files=5)
+    ds = EagleMGNDataset(str(tmp_path), mode="train", window_length=3,
+                         normalize=False, max_steps=130)
+
+    shapes = set()
+    for epoch in range(2):
+        for batch in iterate_graph_batches(ds, 2, shuffle=True, seed=epoch):
+            shapes.add(tuple((k, v.shape) for k, v in sorted(batch.items())))
+    # batch-size 2 over 5 files -> a trailing batch of 1; node/edge/cluster
+    # dims must be constant, so exactly two shape signatures (B=2 and B=1)
+    n_dims = {dict(sig)["state"][2] for sig in shapes}
+    e_dims = {dict(sig)["edges"][2] for sig in shapes}
+    assert len(n_dims) == 1 and len(e_dims) == 1
+    assert len(shapes) == 2
+    caches = [f for f in os.listdir(tmp_path / "train") if f.startswith(".fluid_buckets")]
+    assert len(caches) == 1
+
+    # cache is honoured on a fresh dataset (no rescan divergence)
+    ds2 = EagleMGNDataset(str(tmp_path), mode="train", window_length=3,
+                          normalize=False, max_steps=130)
+    b2 = next(iterate_graph_batches(ds2, 2, shuffle=False))
+    assert dict(tuple(sorted((k, v.shape) for k, v in b2.items())))["state"][2] in n_dims

@@ -53,6 +53,60 @@ def test_opt_parity(embeds):
     np.testing.assert_allclose(ours, ref, atol=2e-5)
 
 
+def test_opt_350m_shape_parity():
+    """OPT-350m quirks: word_embed_proj_dim < hidden_size (project_in/out),
+    post-LN blocks (do_layer_norm_before=False), no final layer norm.
+
+    The reference names 350m as a supported backbone
+    (``src/models/model.py:35-36``) but sizes its patch encoder by
+    ``hidden_size`` (``model.py:44``), which HF's ``project_in`` would
+    reject — here the true HF semantics are implemented and tested."""
+    from transformers import OPTConfig, OPTModel
+
+    torch.manual_seed(0)
+    hf = OPTModel(
+        OPTConfig(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            ffn_dim=64, max_position_embeddings=64, vocab_size=100,
+            word_embed_proj_dim=16, dropout=0.0, do_layer_norm_before=False,
+            activation_function="relu",
+        )
+    ).eval()
+    cfg = bb.BackboneConfig(
+        family="opt", n_layers=2, d_model=32, n_heads=4, d_ff=64,
+        max_pos=64, vocab_size=100, act="relu", pos="learned", pos_offset=2,
+        dropout=0.0, attn_impl="xla",
+        d_embed=16, pre_ln=False, final_ln=False,
+    )
+    assert cfg.embed_dim == 16
+    params, embed_tokens = convert_state_dict(hf.state_dict(), cfg)
+    assert embed_tokens.shape == (100, 16)
+    assert "final_norm" not in params and "project_in" in params
+
+    r = np.random.default_rng(1)
+    emb16 = (r.normal(size=(2, 9, 16)) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(inputs_embeds=torch.from_numpy(emb16)).last_hidden_state.numpy()
+    ours = np.asarray(bb.apply(_to_jax(params), cfg, jnp.asarray(emb16)))
+    assert ours.shape == ref.shape == (2, 9, 16)
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_opt_350m_random_init_matches_layout():
+    """init_params produces the same tree layout as the HF conversion."""
+    import jax
+
+    cfg = bb.preset("facebook/opt-350m", llm_layers=2)
+    params = bb.init_params(jax.random.PRNGKey(0), cfg)
+    assert "project_in" in params and "project_out" in params
+    assert "final_norm" not in params
+    assert params["project_in"]["w"].shape == (512, 1024)
+    assert params["project_out"]["w"].shape == (1024, 512)
+    out = bb.apply(params, cfg.replace(dropout=0.0),
+                   jnp.zeros((1, 4, 512), jnp.float32))
+    assert out.shape == (1, 4, 512)
+
+
 def test_gpt2_parity(embeds):
     from transformers import GPT2Config, GPT2Model
 
