@@ -17,8 +17,6 @@ import jax
 from fluid_llm_tpu.data import get_dataset
 from fluid_llm_tpu.train import checkpoint as ckpt
 from fluid_llm_tpu.train.loop import train_run
-from fluid_llm_tpu.train.trainer import Trainer
-from fluid_llm_tpu.models.fluid_llm import FluidLLM
 from fluid_llm_tpu.utils import set_seed
 
 logging.basicConfig(level=logging.INFO, format="[%(name)s:%(levelname)s] %(message)s", force=True)
@@ -41,14 +39,20 @@ def main(argv=None):
     train_ds = get_dataset(cfg.replace(seq_len=cfg.autoreg_seq_len), mode="train")
     valid_ds = get_dataset(cfg.replace(seq_len=cfg.val_seq_len), mode="valid")
 
-    model = FluidLLM.build(cfg, train_ds.ds_props())
-    trainer = Trainer(model)
-    like = trainer.init_state(jax.random.PRNGKey(0))
+    # rebuild the mesh from cfg.parallel and restore INTO sharded arrays —
+    # a run trained over a mesh resumes sharded, not single-device-placed
+    from fluid_llm_tpu.main import init_state_and_mesh
+
+    model, trainer, like, mesh = init_state_and_mesh(
+        cfg, train_ds.ds_props(), jax.random.PRNGKey(0)
+    )
     state = ckpt.restore_checkpoint(load_path, step, like)
+    if mesh is not None:
+        logger.info("Restored onto mesh %s", dict(mesh.shape))
 
     train_run(
         cfg, trainer, state, train_ds, valid_ds,
-        save_path=load_path, start_ep=state.epoch, rng=rng,
+        save_path=load_path, start_ep=state.epoch, rng=rng, mesh=mesh,
     )
 
 

@@ -26,7 +26,6 @@ from fluid_llm_tpu.ops.patching import patch_to_img
 from fluid_llm_tpu.rollout.generate import gen_seq
 from fluid_llm_tpu.train import checkpoint as ckpt
 from fluid_llm_tpu.train.metrics import calc_n_rmse
-from fluid_llm_tpu.train.trainer import Trainer
 from fluid_llm_tpu.utils import set_seed
 
 logging.basicConfig(level=logging.INFO, format="[%(name)s:%(levelname)s] %(message)s", force=True)
@@ -117,10 +116,16 @@ def main(argv=None):
 
     # model geometry comes from the train-time dataset config (``inference.py:173-174``)
     probe_ds = get_dataset(cfg.replace(seq_len=cfg.autoreg_seq_len), mode="valid")
-    model = FluidLLM.build(cfg, probe_ds.ds_props())
-    trainer = Trainer(model)
-    like = trainer.init_state(jax.random.PRNGKey(0))
+    # restore through the mesh-aware template so multi-device inference
+    # (e.g. LLaMA-7B tensor-parallel) loads sharded, not single-device
+    from fluid_llm_tpu.main import init_state_and_mesh
+
+    model, trainer, like, mesh = init_state_and_mesh(
+        cfg, probe_ds.ds_props(), jax.random.PRNGKey(0)
+    )
     state = ckpt.restore_checkpoint(load_path, step, like)
+    if mesh is not None:
+        logger.info("Restored onto mesh %s", dict(mesh.shape))
 
     test_ds = get_dataset(cfg.replace(seq_len=args.seq_len), mode="test")
     per_step, mean = test_generate(

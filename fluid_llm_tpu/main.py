@@ -35,6 +35,47 @@ logging.basicConfig(level=logging.INFO, format="[%(name)s:%(levelname)s] %(messa
 logger = logging.getLogger("fluid_llm_tpu.main")
 
 
+def finish_state(params, model: FluidLLM, trainer: Trainer, cfg: Config):
+    """Shard (devices > 1), partition and build optimizer state.
+
+    Shared by fresh training, resume and inference so a run trained over a
+    mesh restores *into sharded* arrays (Orbax restores with the template's
+    shardings) instead of single-device placement.
+    """
+    mesh = None
+    if len(jax.devices()) > 1 and not cfg.llm_4bit_loading:
+        mesh = make_mesh(cfg.parallel)
+        params = shard_params(params, mesh, cfg.parallel)
+
+    mask = model.trainable_mask(params)
+    trainable, frozen = partition(params, mask)
+    opt_state = trainer.opt.init(trainable)
+    if mesh is not None:
+        # moment leaves inherit the trainable sharding through opt.init, but
+        # scalar leaves (Adam count, MultiSteps counters) come back
+        # uncommitted — commit them replicated so a checkpoint restored into
+        # this template is consistently mesh-placed
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+        opt_state = jax.tree_util.tree_map(
+            lambda x: x if isinstance(getattr(x, "sharding", None), NamedSharding)
+            else jax.device_put(x, rep),
+            opt_state,
+        )
+    return TrainState(trainable=trainable, frozen=frozen, opt_state=opt_state), mesh
+
+
+def init_state_and_mesh(cfg: Config, ds_props, rng):
+    """Model + random-init state sharded per ``cfg.parallel`` — the restore
+    template for resume/inference (``src/continue_train.py:22-37``)."""
+    model = FluidLLM.build(cfg, ds_props)
+    trainer = Trainer(model)
+    params = model.init(rng)
+    state, mesh = finish_state(params, model, trainer, cfg)
+    return model, trainer, state, mesh
+
+
 def build_model_and_state(cfg: Config, ds_props, rng):
     model = FluidLLM.build(cfg, ds_props)
     trainer = Trainer(model)
@@ -59,18 +100,10 @@ def build_model_and_state(cfg: Config, ds_props, rng):
         params["backbone"] = quantize_backbone(params["backbone"])
         logger.info("Quantized backbone weights to int8 storage")
 
-    mesh = None
-    if len(jax.devices()) > 1 and not cfg.llm_4bit_loading:
-        mesh = make_mesh(cfg.parallel)
-        params = shard_params(params, mesh, cfg.parallel)
-
-    mask = model.trainable_mask(params)
-    trainable, frozen = partition(params, mask)
-    opt_state = trainer.opt.init(trainable)
-    state = TrainState(trainable=trainable, frozen=frozen, opt_state=opt_state)
+    state, mesh = finish_state(params, model, trainer, cfg)
     logger.info(
         "The model has %d trainable parameters (%d frozen)",
-        count_params(trainable), count_params(frozen),
+        count_params(state.trainable), count_params(state.frozen),
     )
     return model, trainer, state, mesh
 

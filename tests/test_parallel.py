@@ -166,3 +166,57 @@ def test_llama_family_tp_train_step():
         trainable, frozen, opt_state, shard_batch(batch, mesh), jax.random.PRNGKey(1)
     )
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sharded_checkpoint_resume(tmp_path):
+    """Train sharded -> save -> restore through the mesh-aware template ->
+    one more sharded step (VERDICT r1 #7: resume must rebuild the mesh)."""
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    from fluid_llm_tpu.main import finish_state
+    from fluid_llm_tpu.train import checkpoint as ckpt
+    from fluid_llm_tpu.train.trainer import Trainer, TrainState
+    from test_model import tiny_setup
+
+    cfg, ds, props, model, batch = tiny_setup(seq_len=4, decoder="MLP", use_lora=True)
+    cfg = cfg.replace(parallel=ParallelConfig(model_axis=2, fsdp_axis=2))
+    # pad batch to 8 samples so it divides data*fsdp
+    batch = tuple(np.concatenate([np.asarray(x)] * 4, axis=0) for x in batch)
+    trainer = Trainer(model)
+
+    params = model.init(jax.random.PRNGKey(0))
+    state, mesh = finish_state(params, model, trainer, cfg)
+    assert mesh is not None and dict(mesh.shape) == {"data": 2, "fsdp": 2, "model": 2}
+
+    sharded_batch = shard_batch(batch, mesh)
+    state.trainable, state.opt_state, m = trainer.train_step_autoreg(
+        state.trainable, state.frozen, state.opt_state, sharded_batch,
+        jax.random.PRNGKey(1),
+    )
+    state.epoch = 1
+    save_path = str(tmp_path)
+    ckpt.save_checkpoint(save_path, 1, state, cfg)
+
+    # restore into a sharded template (the continue_train path)
+    params2 = model.init(jax.random.PRNGKey(9))
+    like, mesh2 = finish_state(params2, model, trainer, cfg)
+    restored = ckpt.restore_checkpoint(save_path, 1, like)
+    # restored leaves carry the mesh sharding
+    leaf = restored.frozen["backbone"]["layers"][0]["attn"]["q"]["w"]
+    assert isinstance(leaf.sharding, NamedSharding)
+    assert leaf.sharding.mesh.shape == mesh2.shape
+
+    # restored values equal an unsharded restore
+    like_plain = trainer.init_state(jax.random.PRNGKey(9))
+    restored_plain = ckpt.restore_checkpoint(save_path, 1, like_plain)
+    a = jax.tree_util.tree_leaves(restored.trainable)[0]
+    b = jax.tree_util.tree_leaves(restored_plain.trainable)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # one more sharded step runs and is finite
+    tr, opt, m2 = trainer.train_step_autoreg(
+        restored.trainable, restored.frozen, restored.opt_state,
+        shard_batch(batch, mesh2), jax.random.PRNGKey(2),
+    )
+    assert np.isfinite(float(m2["loss"]))
