@@ -68,27 +68,29 @@ def locate_triangles(
     """
     import os
 
+    from fluid_llm_tpu.utils import kernel_fallback
+
     prefer_native = os.environ.get("FLUID_LLM_TPU_NATIVE_LOCATOR") == "1"
     if prefer_native:
         try:
             from fluid_llm_tpu.core import _native
 
             return _native.locate(pos, faces, grid_x, grid_y)
-        except Exception:
-            pass
+        except Exception as e:
+            kernel_fallback("native point locator (preferred)", e)
     try:
         from matplotlib import tri as mtri
 
         triang = mtri.Triangulation(pos[:, 0], pos[:, 1], triangles=faces)
         return np.asarray(triang.get_trifinder()(grid_x, grid_y), dtype=np.int32)
-    except Exception:
-        pass
+    except Exception as e:
+        kernel_fallback("matplotlib C trifinder", e)
     try:
         from fluid_llm_tpu.core import _native
 
         return _native.locate(pos, faces, grid_x, grid_y)
-    except Exception:
-        pass
+    except Exception as e:
+        kernel_fallback("native point locator", e)
     return _locate_numpy(pos, faces, grid_x, grid_y)
 
 

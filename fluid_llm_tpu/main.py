@@ -43,7 +43,7 @@ def finish_state(params, model: FluidLLM, trainer: Trainer, cfg: Config):
     shardings) instead of single-device placement.
     """
     mesh = None
-    if len(jax.devices()) > 1 and not cfg.llm_4bit_loading:
+    if len(jax.devices()) > 1:
         mesh = make_mesh(cfg.parallel)
         params = shard_params(params, mesh, cfg.parallel)
 
@@ -93,12 +93,12 @@ def build_model_and_state(cfg: Config, ds_props, rng):
         logger.info("Pretrained %s unavailable; using random init", cfg.llm_backbone)
 
     # quantized backbone storage (reference's 4-bit loading flag,
-    # ``model.py:51``; int8 weight-only here) — only valid for a frozen base
+    # ``model.py:51``): QLoRA-style packed nf4 — only valid for a frozen base
     if cfg.llm_4bit_loading and (cfg.use_lora or cfg.freeze_llm):
         from fluid_llm_tpu.ops.quant import quantize_backbone
 
-        params["backbone"] = quantize_backbone(params["backbone"])
-        logger.info("Quantized backbone weights to int8 storage")
+        params["backbone"] = quantize_backbone(params["backbone"], mode="nf4")
+        logger.info("Quantized backbone weights to packed nf4 storage")
 
     state, mesh = finish_state(params, model, trainer, cfg)
     logger.info(

@@ -221,10 +221,14 @@ def _norm(x, p, cfg: BackboneConfig):
 
 
 def materialize_w(p, dtype):
-    """Weight matrix of a linear param leaf; dequantises int8 storage
+    """Weight matrix of a linear param leaf; dequantises nf4/int8 storage
     (``ops/quant.py``) on the fly."""
     w = p["w"]
     if isinstance(w, dict):
+        if "codes" in w:  # packed 4-bit NormalFloat
+            from fluid_llm_tpu.ops.quant import dequantize_weight_nf4
+
+            return dequantize_weight_nf4(w, dtype)
         return (w["q"].astype(jnp.float32) * w["scale"]).astype(dtype)
     return w.astype(dtype)
 
@@ -478,6 +482,8 @@ def _sdpa(q, k, v, allowed, valid, cfg: BackboneConfig):
             from fluid_llm_tpu.ops.flash_attention import flash_attention
 
             return flash_attention(q, k, v, valid)
-        except Exception:
-            pass
+        except Exception as e:
+            from fluid_llm_tpu.utils import kernel_fallback
+
+            kernel_fallback("pallas flash attention", e)
     return _attention_xla(q, k, v, allowed, cfg.dtype)

@@ -115,8 +115,10 @@ def gatv2_conv_apply(
                 if "bias" in params:
                     out = out + params["bias"].astype(dtype)
                 return out
-        except Exception:
-            pass  # fall through to the XLA formulation
+        except Exception as e:  # fall through to the XLA formulation
+            from fluid_llm_tpu.utils import kernel_fallback
+
+            kernel_fallback("fused grid-GATv2 kernel", e)
 
     if dropout > 0.0 and rng is not None:
         # attention-dropout path needs explicit alphas: materialise slots

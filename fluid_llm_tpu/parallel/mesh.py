@@ -122,8 +122,27 @@ def backbone_param_specs(backbone_params: dict, fsdp: bool, tp: bool) -> dict:
 
 
 def _fit(spec: dict, params: dict) -> dict:
-    """Drop spec entries for params that don't exist (e.g. no bias)."""
-    return {k: v for k, v in spec.items() if k in params}
+    """Adapt a linear-layer spec to the actual param leaves: drop missing
+    entries (e.g. no bias) and expand specs for quantized weight storage
+    (``ops/quant.py``) so quantization composes with the mesh."""
+    out: dict[str, Any] = {}
+    for k, v in spec.items():
+        if k not in params:
+            continue
+        p = params[k]
+        if k == "w" and isinstance(p, dict):
+            if "codes" in p:
+                # nf4 packed storage: absmax blocks span rows, so the packed
+                # bytes don't shard cleanly — replicate (4-bit is tiny)
+                out[k] = jax.tree_util.tree_map(lambda _: P(), p)
+            else:
+                # int8 {q, scale}: q shards like the float weight; the
+                # per-output-column scales follow the output dim
+                out_axis = v[1] if len(v) > 1 else None
+                out[k] = {"q": v, "scale": P(out_axis)}
+        else:
+            out[k] = v
+    return out
 
 
 def param_specs(params: dict, parallel: ParallelConfig) -> dict:

@@ -45,3 +45,93 @@ def test_quantized_backbone_forward_close():
     w1 = deq["layers"][0]["attn"]["q"]["w"]
     assert w1.shape == w0.shape
     assert quantization_error(params["backbone"]) <= 0.51
+
+
+def test_nf4_pack_roundtrip_exact():
+    """Packing/unpacking of 4-bit codes is lossless."""
+    import numpy as np
+
+    from fluid_llm_tpu.ops.quant import NF4_CODEBOOK, dequantize_weight_nf4, quantize_weight_nf4
+
+    rng = np.random.default_rng(0)
+    # weights already ON codebook points times a block absmax: exact recovery
+    codes = rng.integers(0, 16, size=(8, 16))
+    w = NF4_CODEBOOK[codes].astype(np.float32) * 0.37
+    qp = quantize_weight_nf4(jnp.asarray(w))
+    assert qp["codes"].dtype == jnp.uint8 and qp["codes"].shape == (8, 8)
+    rec = np.asarray(dequantize_weight_nf4(qp, jnp.float32))
+    np.testing.assert_allclose(rec, w, rtol=2e-2, atol=1e-3)
+
+
+def test_nf4_error_bounds_normal_weights():
+    import numpy as np
+
+    from fluid_llm_tpu.ops.quant import dequantize_weight_nf4, quantize_weight_nf4
+
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=(256, 128)).astype(np.float32) * 0.02
+    qp = quantize_weight_nf4(jnp.asarray(w))
+    rec = np.asarray(dequantize_weight_nf4(qp, jnp.float32))
+    rel = np.abs(rec - w).mean() / np.abs(w).mean()
+    # 4-bit NormalFloat on normal weights: ~7% mean relative error
+    assert rel < 0.12, rel
+    # storage really is ~4 bit + overhead
+    bytes_used = qp["codes"].size + qp["absmax_q"].size + 4 * qp["absmax_scale"].size + 4
+    assert bytes_used < w.size * 0.7
+
+
+def test_nf4_backbone_forward_close():
+    """nf4-quantized backbone forward stays close to the float forward."""
+    import numpy as np
+
+    from fluid_llm_tpu.models import backbone as bb
+    from fluid_llm_tpu.ops.quant import quantize_backbone
+
+    cfg = bb.BackboneConfig(
+        family="opt", n_layers=2, d_model=64, n_heads=4, d_ff=128,
+        max_pos=64, act="relu", pos="learned", pos_offset=2, dropout=0.0,
+        attn_impl="xla",
+    )
+    params = bb.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 9, 64), jnp.float32) * 0.3
+    ref = np.asarray(bb.apply(params, cfg, x))
+    qparams = quantize_backbone(params, mode="nf4")
+    # check it actually stored 4-bit
+    assert "codes" in qparams["layers"][0]["attn"]["q"]["w"]
+    out = np.asarray(bb.apply(qparams, cfg, x))
+    err = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert err < 0.25, err
+
+
+def test_quantized_backbone_shards_over_mesh():
+    """Quantization composes with the device mesh (VERDICT r1 #10)."""
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    from fluid_llm_tpu.config import ParallelConfig
+    from fluid_llm_tpu.models import backbone as bb
+    from fluid_llm_tpu.ops.quant import quantize_backbone
+    from fluid_llm_tpu.parallel.mesh import make_mesh, shard_params
+
+    cfg = bb.BackboneConfig(
+        family="opt", n_layers=2, d_model=64, n_heads=4, d_ff=128,
+        max_pos=64, act="relu", pos="learned", pos_offset=2, dropout=0.0,
+        attn_impl="xla",
+    )
+    params = {"backbone": quantize_backbone(
+        bb.init_params(jax.random.PRNGKey(0), cfg), mode="int8")}
+    par = ParallelConfig(model_axis=2, fsdp_axis=2)
+    mesh = make_mesh(par)
+    sharded = shard_params(params, mesh, par)
+    q = sharded["backbone"]["layers"][0]["attn"]["q"]["w"]["q"]
+    assert isinstance(q.sharding, NamedSharding)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 9, 64), jnp.float32)
+    out = bb.apply(sharded["backbone"], cfg, x)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # nf4 storage also places (replicated packed bytes)
+    params4 = {"backbone": quantize_backbone(
+        bb.init_params(jax.random.PRNGKey(0), cfg), mode="nf4")}
+    sharded4 = shard_params(params4, mesh, par)
+    out4 = bb.apply(sharded4["backbone"], cfg, x)
+    assert np.isfinite(np.asarray(out4)).all()

@@ -146,3 +146,23 @@ def test_plotting_smoke(tmp_path, rng):
     )
     for f in ["mesh.png", "patches.png", "field.png", "grid.png"]:
         assert (tmp_path / f).stat().st_size > 0
+
+
+def test_kernel_fallback_strict_and_logging(monkeypatch, caplog):
+    """kernel_fallback: logs once by default, raises under strict mode."""
+    import logging
+
+    from fluid_llm_tpu import utils
+
+    utils._fallback_warned.clear()
+    monkeypatch.delenv("FLUID_STRICT_KERNELS", raising=False)
+    with caplog.at_level(logging.WARNING, logger="fluid_llm_tpu.kernels"):
+        utils.kernel_fallback("test-site", RuntimeError("boom"))
+        utils.kernel_fallback("test-site", RuntimeError("boom"))
+    assert sum("test-site" in r.message for r in caplog.records) == 1
+
+    monkeypatch.setenv("FLUID_STRICT_KERNELS", "1")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        utils.kernel_fallback("other-site", RuntimeError("boom"))
