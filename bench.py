@@ -139,7 +139,7 @@ def main():
     batch = next(make_batches(ds, 1, shuffle=False))
     states, _, _, bc_mask, pos = batch
 
-    params = model.init(jax.random.PRNGKey(0))
+    params = model.prepare_inference_params(model.init(jax.random.PRNGKey(0)))
 
     roll = jax.jit(
         lambda p, s, m, pid: generate(model, p, s, m, pid, PRED_STEPS)

@@ -128,8 +128,13 @@ def main(argv=None):
         logger.info("Restored onto mesh %s", dict(mesh.shape))
 
     test_ds = get_dataset(cfg.replace(seq_len=args.seq_len), mode="test")
+    params = state.params
+    if mesh is None:
+        # single-device serving: fold adapters + fuse q/k/v (exact transform;
+        # sharded params keep the per-name partition specs instead)
+        params = model.prepare_inference_params(params)
     per_step, mean = test_generate(
-        model, state.params, test_ds,
+        model, params, test_ds,
         batch_size=args.batch_size, pred_steps=args.pred_steps, plot_dir=args.plot_dir,
     )
     if args.csv:

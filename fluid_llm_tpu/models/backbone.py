@@ -202,6 +202,29 @@ def init_params(key: jax.Array, cfg: BackboneConfig) -> Params:
     return params
 
 
+def pack_qkv_params(params: Params) -> Params:
+    """Inference-time weight transform: fuse each layer's q/k/v projections
+    into one ``(d, d + 2*kv_dim)`` matmul.
+
+    Exact (same math, one MXU pass instead of three small ones) — at the
+    reference rollout's 661x768 gemms the per-dispatch overhead is a
+    measurable share of the step.  Apply AFTER ``merge_lora`` (adapters
+    target the unpacked names); quantised leaves are left unpacked.
+    """
+    layers = []
+    for layer in params["layers"]:
+        attn = layer["attn"]
+        names = ("q", "k", "v")
+        if not all(n in attn and not isinstance(attn[n]["w"], dict) for n in names):
+            layers.append(layer)
+            continue
+        qkv = {"w": jnp.concatenate([attn[n]["w"] for n in names], axis=1)}
+        if "b" in attn["q"]:
+            qkv["b"] = jnp.concatenate([attn[n]["b"] for n in names])
+        layers.append(dict(layer, attn={"qkv": qkv, "o": attn["o"]}))
+    return dict(params, layers=layers)
+
+
 # --------------------------------------------------------------------------
 # apply
 # --------------------------------------------------------------------------
@@ -369,9 +392,18 @@ def apply(
         # (OPT-350m, ``do_layer_norm_before=False``) normalises after the
         # residual add — HF ``OPTDecoderLayer.forward``
         h = _norm(x, layer_params["ln1"], cfg) if cfg.pre_ln else x
-        q = lin(h, "attn", "q").reshape(bs, L, cfg.n_heads, cfg.head_dim)
-        k = lin(h, "attn", "k").reshape(bs, L, cfg.kv_heads, cfg.head_dim)
-        v = lin(h, "attn", "v").reshape(bs, L, cfg.kv_heads, cfg.head_dim)
+        kv_dim = cfg.kv_heads * cfg.head_dim
+        if "qkv" in layer_params["attn"]:
+            # fused projection from pack_qkv_params (inference path)
+            qkv = _linear(h, layer_params["attn"]["qkv"])
+            q, k, v = (qkv[..., :d], qkv[..., d:d + kv_dim], qkv[..., d + kv_dim:])
+        else:
+            q = lin(h, "attn", "q")
+            k = lin(h, "attn", "k")
+            v = lin(h, "attn", "v")
+        q = q.reshape(bs, L, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(bs, L, cfg.kv_heads, cfg.head_dim)
+        v = v.reshape(bs, L, cfg.kv_heads, cfg.head_dim)
         if cfg.pos == "rope":
             q, k = _rope(q, k, positions, cfg)
         if cfg.kv_heads != cfg.n_heads:
@@ -435,9 +467,25 @@ def _final_block_sliced(x, layer_params, layer_lora, cfg: BackboneConfig,
     x_s = jax.lax.dynamic_slice_in_dim(x, start, ln, axis=1)
     h_q = jax.lax.dynamic_slice_in_dim(h, start, ln, axis=1)
 
-    q = lin(h_q, "attn", "q").reshape(bs, ln, cfg.n_heads, cfg.head_dim)
-    k = lin(h, "attn", "k").reshape(bs, L, cfg.kv_heads, cfg.head_dim)
-    v = lin(h, "attn", "v").reshape(bs, L, cfg.kv_heads, cfg.head_dim)
+    kv_dim = cfg.kv_heads * cfg.head_dim
+    if "qkv" in layer_params["attn"]:
+        # packed weights: q over the slice, fused k|v over the full window
+        p_qkv = layer_params["attn"]["qkv"]
+        w = materialize_w(p_qkv, h.dtype)
+        b = p_qkv.get("b")
+        q = h_q @ w[:, :d]
+        kv = h @ w[:, d:]
+        if b is not None:
+            q = q + b[:d].astype(q.dtype)
+            kv = kv + b[d:].astype(kv.dtype)
+        k, v = kv[..., :kv_dim], kv[..., kv_dim:]
+    else:
+        q = lin(h_q, "attn", "q")
+        k = lin(h, "attn", "k")
+        v = lin(h, "attn", "v")
+    q = q.reshape(bs, ln, cfg.n_heads, cfg.head_dim)
+    k = k.reshape(bs, L, cfg.kv_heads, cfg.head_dim)
+    v = v.reshape(bs, L, cfg.kv_heads, cfg.head_dim)
     if cfg.pos == "rope":
         pos_q = jax.lax.dynamic_slice_in_dim(positions, start, ln, axis=1)
         q, _ = _rope(q, q, pos_q, cfg)

@@ -66,6 +66,21 @@ class FluidLLM:
     def tokens_per_frame(self) -> int:
         return self.ds_props.N_patch
 
+    def prepare_inference_params(self, params: Params) -> Params:
+        """Exact inference-time param transform: fold LoRA/DoRA adapters into
+        the backbone (``lora.merge_lora``) and fuse each layer's q/k/v into
+        one projection (``backbone.pack_qkv_params``).  Same math, fewer and
+        larger MXU dispatches — used by the rollout/serving path."""
+        p = dict(params)
+        if "lora" in p:
+            from fluid_llm_tpu.models.lora import merge_lora
+
+            p = dict(p)
+            p["backbone"] = merge_lora(p["backbone"], p["lora"], self.cfg.lora_config)
+            del p["lora"]
+        p["backbone"] = bb.pack_qkv_params(p["backbone"])
+        return p
+
     def init(self, key: jax.Array) -> Params:
         k_bb, k_emb, k_dec, k_lora, k_bos = jax.random.split(key, 5)
         # encoder/decoder/BOS live at the backbone's embedding dim — equal to

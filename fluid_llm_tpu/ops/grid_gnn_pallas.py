@@ -354,4 +354,8 @@ def supported(x_shape, heads: int, cdim: int, min_frames: int = 16) -> bool:
         n_frames >= min_frames
         and X * Y * F <= _VMEM_LIMIT_ELEMS
         and F == heads * cdim
+        # heads > 1 trips a Mosaic "unsupported shape cast" in the per-head
+        # reduction on this toolchain; production decoders use heads=1
+        # (``config.py:81``, matching the reference's GATv2 default)
+        and heads == 1
     )

@@ -1,0 +1,128 @@
+"""On-TPU kernel regression smoke: Pallas kernels vs XLA on the real chip.
+
+The pytest suite pins the CPU backend (``tests/conftest.py``), so Pallas
+kernels are exercised there only in interpret mode.  This script is the
+hardware half of the contract: it runs the same parity checks compiled for
+the actual TPU (MXU rounding, Mosaic lowering, VMEM budgets) at sizes the
+dispatch actually routes to the kernels (>=2048 tokens for flash attention,
+>=16 frames for the fused grid-GATv2).
+
+Run directly (``python -m fluid_llm_tpu.tools.tpu_smoke``) or via
+``FLUID_TPU_TESTS=1 pytest tests/test_tpu_kernels.py`` which shells out here
+in a clean-env subprocess (the test process itself is latched to CPU).
+
+Exit code 0 = all kernels match XLA on hardware.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def check_flash(L: int = 2048) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from fluid_llm_tpu.ops.flash_attention import _reference_attention, flash_attention
+
+    rng = np.random.default_rng(0)
+    bs, H, hd = 1, 4, 64
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(bs, L, H, hd)).astype(np.float32), jnp.bfloat16)
+        for _ in range(3)
+    )
+    valid = jnp.asarray(np.arange(L)[None, :] < L - 47)
+    w = valid[:, :, None, None].astype(jnp.float32)
+
+    ref = _reference_attention(q, k, v, valid)
+    out = jax.jit(flash_attention, static_argnums=4)(q, k, v, valid, False)
+    diff = np.abs((np.asarray(out, np.float32) - np.asarray(ref, np.float32)) * np.asarray(w))
+    assert diff.max() < 2e-2, f"flash fwd max diff {diff.max()}"  # bf16 inputs
+
+    def loss_flash(q, k, v):
+        return jnp.sum((flash_attention(q, k, v, valid, False).astype(jnp.float32) * w) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum((_reference_attention(q, k, v, valid).astype(jnp.float32) * w) ** 2)
+
+    gf = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-6)
+        rel = np.abs(a - b).max() / scale
+        assert rel < 3e-2, f"flash d{name} rel diff {rel}"
+    print(f"flash fwd+bwd parity OK on {jax.devices()[0].platform} at L={L}")
+
+
+def check_grid_gnn(frames: int = 16, fused_bwd: bool | None = None) -> None:
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from fluid_llm_tpu.ops import grid_gnn_pallas as gp
+
+    if fused_bwd is None:
+        fused_bwd = os.environ.get("FLUID_GNN_FUSED_BWD") == "1"
+
+    rng = np.random.default_rng(1)
+    # production decoder shape: heads=1, cdim=48 (config.py:78-81), 240x64 grid
+    heads, cdim, X, Y = 1, 48, 240, 64
+    F = heads * cdim
+    xl = jnp.asarray(rng.normal(size=(frames, X, Y, F)).astype(np.float32))
+    xr = jnp.asarray(rng.normal(size=(frames, X, Y, F)).astype(np.float32))
+    att = jnp.asarray(rng.normal(size=(heads, cdim)).astype(np.float32))
+
+    kern = jax.jit(lambda a, b, c: gp.fused_slot_attention(a, b, c, heads, cdim))
+    # f32: logic parity, tight
+    ref32 = gp._xla_slot_attention(xl, xr, att, heads, cdim)
+    out32 = kern(xl, xr, att)
+    d32 = np.abs(np.asarray(out32) - np.asarray(ref32)).max()
+    assert d32 < 1e-4, f"grid-gnn f32 fwd max diff {d32}"
+    # bf16: both paths round differently; require the kernel to stay within
+    # ~2x of XLA's own bf16 deviation from the f32 truth
+    xl16, xr16 = xl.astype(jnp.bfloat16), xr.astype(jnp.bfloat16)
+    xla16 = gp._xla_slot_attention(xl16, xr16, att.astype(jnp.bfloat16), heads, cdim)
+    ker16 = kern(xl16, xr16, att)
+    dev_x = np.abs(np.asarray(xla16, np.float32) - np.asarray(ref32)).max()
+    dev_k = np.abs(np.asarray(ker16, np.float32) - np.asarray(ref32)).max()
+    assert dev_k < max(2.5 * dev_x, 0.05), f"grid-gnn bf16: kernel {dev_k} vs xla {dev_x}"
+
+    if fused_bwd:
+        def loss_fused(a, b, c):
+            return jnp.sum(gp.fused_slot_attention(a, b, c, heads, cdim).astype(jnp.float32) ** 2)
+
+        def loss_ref(a, b, c):
+            return jnp.sum(gp._xla_slot_attention(a, b, c.astype(a.dtype), heads, cdim).astype(jnp.float32) ** 2)
+
+        gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(xl, xr, att)
+        gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(xl, xr, att)
+        for a, b, name in zip(gf, gr, ("xl", "xr", "att")):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            scale = max(np.abs(b).max(), 1e-6)
+            rel = np.abs(a - b).max() / scale
+            assert rel < 5e-2, f"grid-gnn d{name} rel diff {rel}"
+        print("grid-gnn fused fwd+bwd parity OK")
+    else:
+        print("grid-gnn fused fwd parity OK (bwd: XLA recompute default)")
+
+
+def main() -> int:
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        # still meaningful (compiled Mosaic interpret is CPU), but say so
+        print(f"WARNING: running on {jax.default_backend()}, not TPU", file=sys.stderr)
+    check_flash(2048)
+    check_grid_gnn(16)
+    print("TPU kernel smoke: ALL OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

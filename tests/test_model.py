@@ -265,3 +265,24 @@ def test_rollout_config_matrix(see_init, bos):
     diffs0 = img_to_patch(pred[:, -1:], model.ds_props)[:, 0]
     diffs0 = jnp.where(bc_mask[:, 0], 0.0, diffs0)
     np.testing.assert_allclose(np.asarray(df[:, 0]), np.asarray(diffs0), atol=5e-5)
+
+
+def test_prepare_inference_params_exact():
+    """merge_lora + pack_qkv_params is an exact transform: full forward and
+    the single-frame rollout agree with the unpacked adapter path."""
+    cfg, ds, props, model, batch = tiny_setup(use_lora=True)
+    params = model.init(jax.random.PRNGKey(3))
+    states, _, _, bc_mask, pos = batch
+
+    packed = model.prepare_inference_params(params)
+    assert "lora" not in packed
+    assert "qkv" in packed["backbone"]["layers"][0]["attn"]
+    assert "q" not in packed["backbone"]["layers"][0]["attn"]
+
+    ref = model.predict_diffs(params, states, pos)
+    out = model.predict_diffs(packed, states, pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    st_ref, _ = generate(model, params, states[:, :1], bc_mask, pos, 3)
+    st_out, _ = generate(model, packed, states[:, :1], bc_mask, pos, 3)
+    np.testing.assert_allclose(np.asarray(st_out), np.asarray(st_ref), atol=1e-4, rtol=1e-4)
