@@ -52,10 +52,16 @@ def bench_train():
         resolution=238,
         flash_attention=True,
     )
+    # experiment knobs (not part of the recorded protocol)
+    if os.environ.get("FLUID_BENCH_DECODER"):
+        cfg.decoder_params.type = os.environ["FLUID_BENCH_DECODER"]
+    overrides = {}
+    if os.environ.get("FLUID_BENCH_ATTN"):
+        overrides["attn_impl"] = os.environ["FLUID_BENCH_ATTN"]
     ds = SyntheticCylinderDataset(
         n_trajectories=8, resolution=238, seq_len=10, mode="valid"
     )
-    model = FluidLLM.build(cfg, ds.ds_props())
+    model = FluidLLM.build(cfg, ds.ds_props(), **overrides)
     batch = next(make_batches(ds, cfg.batch_size, shuffle=False))
     assert batch[0].shape[0] == cfg.batch_size, batch[0].shape
     trainer = Trainer(model)

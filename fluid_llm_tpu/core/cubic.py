@@ -366,6 +366,112 @@ class CubicTriInterpolator:
         return np.einsum("mo,mo->m", _basis(s), self.ords[tri_idx, k])
 
 
+@dataclass
+class CubicMeshInterp:
+    """Precomputed per-pixel data for device-side cubic resampling.
+
+    value(pixel) is linear in the 9 DOFs of its containing triangle, so each
+    pixel carries its 3 node indices and 9 weights; per-field evaluation is
+    one gather + FMA (``resample_to_grid_cubic``), the same device-friendly
+    shape as the linear path (``core/interp.py``).  The gradient weights are
+    expressed in RAW units (the ptp scaling is folded in), so callers pass
+    plain d/dx, d/dy nodal gradients from ``estimate_gradients``.
+    """
+
+    vert_idx: np.ndarray  # (H, W, 3) int32
+    wf: np.ndarray  # (H, W, 3) f32 — weights of nodal values
+    wgx: np.ndarray  # (H, W, 3) f32 — weights of nodal d/dx
+    wgy: np.ndarray  # (H, W, 3) f32 — weights of nodal d/dy
+    mask: np.ndarray  # (H, W) bool, True outside the mesh
+
+
+def get_cubic_mesh_interpolation(pos, faces, grid_x, grid_y) -> CubicMeshInterp:
+    """Build per-pixel cubic weights once per (mesh, grid) pair."""
+    from fluid_llm_tpu.core.triangulation import locate_triangles
+
+    pos = np.asarray(pos, np.float64)
+    faces = np.asarray(faces, np.int64)
+    unit_x, unit_y = float(np.ptp(pos[:, 0])), float(np.ptp(pos[:, 1]))
+    pts = np.column_stack([pos[:, 0] / unit_x, pos[:, 1] / unit_y])
+    V = pts[faces]
+
+    tri_index = locate_triangles(pos, faces, grid_x, grid_y)
+    mask = tri_index == -1
+    inside = ~mask.ravel()
+    tri = tri_index.ravel()[inside].astype(np.int64)
+
+    # ordinates of the 9 unit DOF vectors, for every triangle
+    ntri = V.shape[0]
+    unit_ords = np.empty((ntri, 9, 3, 10))
+    for j in range(9):
+        node, comp = divmod(j, 3)
+        f = np.zeros((ntri, 3))
+        g = np.zeros((ntri, 3, 2))
+        if comp == 0:
+            f[:, node] = 1.0
+        else:
+            g[:, node, comp - 1] = 1.0
+        unit_ords[:, j] = _construct_ordinates(V, f, g)
+
+    # pixel -> (subtri, basis)
+    xs = np.ravel(grid_x)[inside] / unit_x
+    ys = np.ravel(grid_y)[inside] / unit_y
+    Vt = V[tri]
+    G = _bary_grads(Vt)
+    p = np.stack([xs, ys], axis=-1)
+    tau = 1.0 / 3.0 + np.einsum("mkd,md->mk", G, p - Vt.mean(axis=1))
+    k, s = _sub_coords(tau)
+    basis = _basis(s)  # (m, 10)
+
+    w9 = np.einsum("mo,mjo->mj", basis, unit_ords[tri, :, k, :])  # (m, 9)
+
+    H, W = mask.shape
+    vert_idx = np.zeros((H * W, 3), np.int32)
+    wf = np.zeros((H * W, 3), np.float32)
+    wgx = np.zeros((H * W, 3), np.float32)
+    wgy = np.zeros((H * W, 3), np.float32)
+    vert_idx[inside] = faces[tri].astype(np.int32)
+    wf[inside] = w9[:, 0::3]
+    # fold the coordinate scaling into the gradient weights: construction
+    # consumed gradients in scaled coords (g_scaled = g_raw * unit)
+    wgx[inside] = w9[:, 1::3] * unit_x
+    wgy[inside] = w9[:, 2::3] * unit_y
+    return CubicMeshInterp(
+        vert_idx.reshape(H, W, 3), wf.reshape(H, W, 3),
+        wgx.reshape(H, W, 3), wgy.reshape(H, W, 3), mask,
+    )
+
+
+def estimate_gradients(pos, faces, z, kind="min_E", dz=None):
+    """Nodal (d/dx, d/dy) in raw units, per the chosen estimator."""
+    interp = CubicTriInterpolator.__new__(CubicTriInterpolator)
+    pos = np.asarray(pos, np.float64)
+    interp.faces = np.asarray(faces, np.int64)
+    interp.unit_x = float(np.ptp(pos[:, 0]))
+    interp.unit_y = float(np.ptp(pos[:, 1]))
+    interp.pts = np.column_stack([pos[:, 0] / interp.unit_x, pos[:, 1] / interp.unit_y])
+    interp.V = interp.pts[interp.faces]
+    interp.z = np.asarray(z, np.float64)
+    g = interp._estimate_gradients(kind, dz)
+    return g[:, 0] / interp.unit_x, g[:, 1] / interp.unit_y
+
+
+def resample_to_grid_cubic(values, gx, gy, vert_idx, wf, wgx, wgy, mask):
+    """Jittable device-side cubic resample: one gather + 9-term FMA.
+
+    values/gx/gy: ``(..., N_nodes)``; returns ``(..., H, W)`` with masked
+    pixels exactly 0 (``to_grid`` semantics).
+    """
+    import jax.numpy as jnp
+
+    out = (
+        jnp.einsum("...hwk,hwk->...hw", values[..., vert_idx], wf.astype(values.dtype))
+        + jnp.einsum("...hwk,hwk->...hw", gx[..., vert_idx], wgx.astype(values.dtype))
+        + jnp.einsum("...hwk,hwk->...hw", gy[..., vert_idx], wgy.astype(values.dtype))
+    )
+    return jnp.where(mask, 0.0, out)
+
+
 def to_grid_cubic(val, pos, faces, grid_x, grid_y, kind="min_E", dz=None):
     """Cubic-interpolate a nodal field onto the grid; masked pixels -> 0.
 

@@ -44,12 +44,13 @@ class FluidLLM:
     @classmethod
     def build(cls, cfg: Config, ds_props: DSProps, **backbone_overrides) -> "FluidLLM":
         dtype = jnp.bfloat16 if cfg.half_precision else jnp.float32
-        bcfg = bb.preset(cfg.llm_backbone, cfg.llm_layers).replace(
+        base_kw = dict(
             dtype=dtype,
             remat=cfg.parallel.remat,
             attn_impl="auto" if cfg.flash_attention else "xla",
-            **backbone_overrides,
         )
+        base_kw.update(backbone_overrides)
+        bcfg = bb.preset(cfg.llm_backbone, cfg.llm_layers).replace(**base_kw)
         return cls(cfg=cfg, ds_props=ds_props, backbone_cfg=bcfg)
 
     # ``max_seq_len``: +1 input frame when see_init duplicates frame 0

@@ -97,10 +97,9 @@ def gatv2_conv_apply(
 
     att = params["att"].astype(dtype)  # (heads, out_dim)
 
-    # fused Pallas path: one VMEM-resident pass instead of ~25 HBM passes —
-    # inference only by default (the fused backward compiles on some
-    # toolchains only; the XLA-recompute backward would be slower than the
-    # plain XLA path, so training keeps XLA unless FLUID_GNN_FUSED_BWD=1)
+    # fused Pallas path: ~3 VMEM-resident passes instead of ~25 HBM passes,
+    # forward and backward (channels-first kernels; FLUID_GNN_FUSED_BWD=0
+    # opts the backward out to XLA recompute — see grid_gnn_pallas.py)
     if allow_fused and not (dropout > 0.0 and rng is not None):
         try:
             from fluid_llm_tpu.ops import grid_gnn_pallas as gp

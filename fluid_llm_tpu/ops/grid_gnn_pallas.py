@@ -3,10 +3,9 @@
 The XLA formulation in ``ops/grid_gnn.py`` is HBM-bound: each conv makes
 ~25 passes over (frames, X, Y, F) tensors for shifts/logits/softmax (the
 MLPGNN decoder runs 3 such convs over the full 240x64 pixel grid for every
-frame of every sample — ~40 % of the training step).  This kernel keeps one
-frame resident in VMEM and fuses the whole slot attention: traffic drops to
-read x_l, x_r + write out (3 passes), plus the same again for the fused
-backward.
+frame of every sample — measured 55 % of the anchor training step, see
+BENCHMARKS.md).  These kernels keep one frame resident in VMEM and fuse the
+whole slot attention; traffic drops to ~3 passes forward / ~8 backward.
 
 Math (per head, per pixel p; slots s in {self, ±x, ±y}; v_s = x_l[n_s(p)]):
 
@@ -21,7 +20,26 @@ Backward (g = dL/dout):
     d x_l[n_s]  += a_s g + dlogit_s * att * lrelu'(u_s)   (reverse shift)
     d att       += sum_p dlogit_s * u_s
 
-Weight/bias grads are recovered outside the kernel from d x_l / d x_r.
+Layout design (the round-1/2 lessons): in the natural (X, Y, F) layout the
+minor dims (64, 48) fill only 48/128 lanes per vreg — a first fused attempt
+never lowered (live-vreg blowup), and a row-tiled variant compiled but ran
+4x SLOWER than XLA (VPU-bound at 37 % lane utilisation).  The kernels here
+work CHANNELS-FIRST, (F, Y, X) with X=240 on lanes (94 % utilisation after
+padding to 256): x-shifts are lane slice+concat, y-shifts sublane
+slice+concat, and per-head logits are (Y, X) maps reduced over the *outer*
+channel dim.  An in-kernel ``fori_loop`` over F-chunks bounds the live set
+(Mosaic compile memory), structured in phases:
+
+  forward:  A) accumulate per-slot logit maps over F-chunks;
+            B) softmax over the 5 maps (tiny);
+            C) second F-chunk pass: out = sum_s alpha_s * v_s.
+  backward: A) accumulate per-slot logit AND g.v maps;
+            B) alpha, dlogit maps;
+            C) F-chunk pass emitting dxr, dxl (reverse-shifted), datt.
+
+Wrapped slot values at frame edges are killed by the (Y, X) masks, so no
+halo or padding is needed.  The host-side transpose to channels-first is two
+cheap XLA layout passes.
 """
 
 from __future__ import annotations
@@ -35,6 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_SLOPE = 0.2
 _SHIFTS = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1))
+_F_CHUNK = 16  # channel rows per loop iteration (compile memory, not VMEM)
 # conservative VMEM budget for one frame's working set
 _VMEM_LIMIT_ELEMS = 240 * 128 * 64
 
@@ -43,6 +62,208 @@ def _lrelu(u):
     # compare in f32: Mosaic lacks 16-bit vector comparisons on this target
     pos = u.astype(jnp.float32) > 0.0
     return jnp.where(pos, u, jnp.asarray(NEG_SLOPE, u.dtype) * u), pos
+
+
+def _shift(v, dx, dy):
+    """Neighbour value at (y+dy, x+dx); v: (..., Y, X).  Static slice+concat
+    (Mosaic's rotate only handles 32-bit types); wrap killed by masks."""
+    if dx == 1:
+        v = jnp.concatenate([v[..., 1:], v[..., :1]], axis=-1)
+    elif dx == -1:
+        v = jnp.concatenate([v[..., -1:], v[..., :-1]], axis=-1)
+    if dy == 1:
+        v = jnp.concatenate([v[..., 1:, :], v[..., :1, :]], axis=-2)
+    elif dy == -1:
+        v = jnp.concatenate([v[..., -1:, :], v[..., :-1, :]], axis=-2)
+    return v
+
+
+def _masks_yx(Y, X):
+    """Per-slot validity masks, bool (Y, X) maps."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
+    out = []
+    for dx, dy in _SHIFTS:
+        m = jnp.ones((Y, X), jnp.float32)
+        if dx == 1:
+            m = jnp.where(cols == X - 1, 0.0, m)
+        elif dx == -1:
+            m = jnp.where(cols == 0, 0.0, m)
+        if dy == 1:
+            m = jnp.where(rows == Y - 1, 0.0, m)
+        elif dy == -1:
+            m = jnp.where(rows == 0, 0.0, m)
+        out.append(m > 0)
+    return out
+
+
+def _softmax_maps(logits, masks):
+    """Per-slot masked softmax over 5 (H, Y, X) f32 maps -> alphas."""
+    neg = jnp.float32(-jnp.inf)
+    masked = [jnp.where(m[None], lg, neg) for lg, m in zip(logits, masks)]
+    m = functools.reduce(jnp.maximum, masked)
+    ws = [jnp.where(mk[None], jnp.exp(lg - m), 0.0) for lg, mk in zip(masked, masks)]
+    denom = functools.reduce(jnp.add, ws)
+    return [w / denom for w in ws]
+
+
+def _chunk_ranges(heads, cdim, f_chunk):
+    """Static (head, channel-offset, size) chunks, never straddling heads."""
+    out = []
+    for h in range(heads):
+        o = 0
+        while o < cdim:
+            c = min(f_chunk, cdim - o)
+            out.append((h, h * cdim + o, c))
+            o += c
+    return out
+
+
+def _fwd_kernel(xl_ref, xr_ref, att_ref, out_ref, *, heads, cdim, f_chunk):
+    # refs: (1, F, Y, X) channels-first; att_ref: (1, F)
+    F, Y, X = xl_ref.shape[1], xl_ref.shape[2], xl_ref.shape[3]
+    cd = xl_ref.dtype
+    masks = _masks_yx(Y, X)
+    chunks = _chunk_ranges(heads, cdim, f_chunk)
+
+    # phase A: accumulate per-slot, per-head logit maps over channel chunks
+    logits = [jnp.zeros((heads, Y, X), jnp.float32) for _ in _SHIFTS]
+    for h, off, sz in chunks:
+        xl_c = xl_ref[0, pl.ds(off, sz)]
+        xr_c = xr_ref[0, pl.ds(off, sz)]
+        for si, (dx, dy) in enumerate(_SHIFTS):
+            u, _ = _lrelu(xr_c + _shift(xl_c, dx, dy))
+            u32 = u.astype(jnp.float32)
+            # att applied as per-channel SMEM scalars: a (F,)->(F,1,1)
+            # broadcast is a lane->outer transpose Mosaic cannot lower
+            part = functools.reduce(
+                jnp.add, [u32[f] * att_ref[0, off + f] for f in range(sz)]
+            )
+            logits[si] = logits[si].at[h].add(part) if heads > 1 else (
+                logits[si] + part[None]
+            )
+
+    # phase B: masked softmax over slots (tiny (Y, X) maps)
+    alphas = _softmax_maps(logits, masks)
+
+    # phase C: out = sum_s alpha_s * v_s, chunk by chunk
+    for h, off, sz in chunks:
+        xl_c = xl_ref[0, pl.ds(off, sz)]
+        acc = jnp.zeros((sz, Y, X), jnp.float32)
+        for si, (dx, dy) in enumerate(_SHIFTS):
+            acc = acc + alphas[si][h][None] * _shift(xl_c, dx, dy).astype(jnp.float32)
+        out_ref[0, pl.ds(off, sz)] = acc.astype(out_ref.dtype)
+
+
+def _bwd_kernel(xl_ref, xr_ref, att_ref, g_ref, dxl_ref, dxr_ref, datt_ref,
+                *, heads, cdim, f_chunk):
+    F, Y, X = xl_ref.shape[1], xl_ref.shape[2], xl_ref.shape[3]
+    cd = xl_ref.dtype
+    masks = _masks_yx(Y, X)
+    chunks = _chunk_ranges(heads, cdim, f_chunk)
+    for f in range(F):
+        datt_ref[0, 0, f] = jnp.float32(0.0)
+
+    # phase A: logit and g.v maps
+    logits = [jnp.zeros((heads, Y, X), jnp.float32) for _ in _SHIFTS]
+    gvs = [jnp.zeros((heads, Y, X), jnp.float32) for _ in _SHIFTS]
+    for h, off, sz in chunks:
+        xl_c = xl_ref[0, pl.ds(off, sz)]
+        xr_c = xr_ref[0, pl.ds(off, sz)]
+        g_c = g_ref[0, pl.ds(off, sz)].astype(cd)
+        for si, (dx, dy) in enumerate(_SHIFTS):
+            v = _shift(xl_c, dx, dy)
+            u, _ = _lrelu(xr_c + v)
+            u32 = u.astype(jnp.float32)
+            lg = functools.reduce(
+                jnp.add, [u32[f] * att_ref[0, off + f] for f in range(sz)]
+            )
+            gv = jnp.sum((g_c * v).astype(jnp.float32), axis=0)
+            if heads > 1:
+                logits[si] = logits[si].at[h].add(lg)
+                gvs[si] = gvs[si].at[h].add(gv)
+            else:
+                logits[si] = logits[si] + lg[None]
+                gvs[si] = gvs[si] + gv[None]
+
+    # phase B: alpha and dlogit maps
+    alphas = _softmax_maps(logits, masks)
+    gv_mean = functools.reduce(jnp.add, [a * gv for a, gv in zip(alphas, gvs)])
+    dlogits = [a * (gv - gv_mean) for a, gv in zip(alphas, gvs)]
+
+    # phase C: input/parameter gradients, chunk by chunk
+    for h, off, sz in chunks:
+        xl_c = xl_ref[0, pl.ds(off, sz)]
+        xr_c = xr_ref[0, pl.ds(off, sz)]
+        g_c = g_ref[0, pl.ds(off, sz)].astype(jnp.float32)
+        acc_dxr = [jnp.zeros((Y, X), jnp.float32) for _ in range(sz)]
+        acc_dxl = [jnp.zeros((Y, X), jnp.float32) for _ in range(sz)]
+        for si, (dx, dy) in enumerate(_SHIFTS):
+            v = _shift(xl_c, dx, dy)
+            u, pos = _lrelu(xr_c + v)
+            u32 = u.astype(jnp.float32)
+            du = jnp.where(pos, 1.0, jnp.float32(NEG_SLOPE))
+            dl = dlogits[si][h]  # (Y, X) f32
+            al = alphas[si][h]
+            for f in range(sz):
+                chain_f = dl * att_ref[0, off + f] * du[f]
+                acc_dxr[f] = acc_dxr[f] + chain_f
+                # contribution lands at the SOURCE pixel: reverse shift;
+                # invalid slots have alpha = dlogit = 0, so wraps stay zero
+                contrib_f = al * g_c[f] + chain_f
+                acc_dxl[f] = acc_dxl[f] + _shift(contrib_f, -dx, -dy)
+                datt_ref[0, 0, off + f] = datt_ref[0, 0, off + f] + jnp.sum(dl * u32[f])
+        dxr_ref[0, pl.ds(off, sz)] = jnp.stack(acc_dxr, axis=0).astype(dxr_ref.dtype)
+        dxl_ref[0, pl.ds(off, sz)] = jnp.stack(acc_dxl, axis=0).astype(dxl_ref.dtype)
+
+
+def _to_cf(x):
+    """(Bf, X, Y, F) -> (Bf, F, Y, X) channels-first (XLA layout pass)."""
+    return jnp.transpose(x, (0, 3, 2, 1))
+
+
+def _from_cf(x):
+    return jnp.transpose(x, (0, 3, 2, 1))
+
+
+def _call_fwd(xl, xr, att, heads, cdim, interpret=False):
+    Bf, X, Y, F = xl.shape
+    frame = pl.BlockSpec((1, F, Y, X), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    att_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, heads=heads, cdim=cdim, f_chunk=_F_CHUNK),
+        grid=(Bf,),
+        in_specs=[frame, frame, att_spec],
+        out_specs=frame,
+        out_shape=jax.ShapeDtypeStruct((Bf, F, Y, X), xl.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(_to_cf(xl), _to_cf(xr), att.reshape(1, heads * cdim))
+    return _from_cf(out)
+
+
+def _call_bwd(xl, xr, att, g, heads, cdim, interpret=False):
+    Bf, X, Y, F = xl.shape
+    frame = pl.BlockSpec((1, F, Y, X), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    att_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    dxl, dxr, datt = pl.pallas_call(
+        functools.partial(_bwd_kernel, heads=heads, cdim=cdim, f_chunk=_F_CHUNK),
+        grid=(Bf,),
+        in_specs=[frame, frame, att_spec, frame],
+        out_specs=(
+            frame,
+            frame,
+            pl.BlockSpec((1, 1, F), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bf, F, Y, X), xl.dtype),
+            jax.ShapeDtypeStruct((Bf, F, Y, X), xl.dtype),
+            jax.ShapeDtypeStruct((Bf, 1, F), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(_to_cf(xl), _to_cf(xr), att.reshape(1, heads * cdim), _to_cf(g))
+    return _from_cf(dxl), _from_cf(dxr), datt.sum(axis=(0, 1)).reshape(heads, cdim)
 
 
 def _slot_mask(X, Y, dx, dy):
@@ -60,236 +281,8 @@ def _slot_mask(X, Y, dx, dy):
     return m
 
 
-def _roll2(x, dx, dy):
-    """Neighbour value x[p + (dx, dy)] at each pixel (wrap killed by mask).
-
-    Implemented as static slice + concat: Mosaic's rotate only handles
-    32-bit element types and these arrays are bf16 in training.
-    """
-    out = x
-    if dx == 1:
-        out = jnp.concatenate([out[1:], out[:1]], axis=0)
-    elif dx == -1:
-        out = jnp.concatenate([out[-1:], out[:-1]], axis=0)
-    if dy == 1:
-        out = jnp.concatenate([out[:, 1:], out[:, :1]], axis=1)
-    elif dy == -1:
-        out = jnp.concatenate([out[:, -1:], out[:, :-1]], axis=1)
-    return out
-
-
-def _fwd_kernel(xl_ref, xr_ref, att_ref, out_ref, *, heads, cdim):
-    # F-wide arrays stay in the input dtype (bf16 in training) so a full
-    # frame fits scoped VMEM; per-head softmax stats are f32
-    X, Y = xl_ref.shape[1], xl_ref.shape[2]
-    cd = xl_ref.dtype
-    xl = xl_ref[0]  # (X, Y, H*C)
-    xr = xr_ref[0]
-    att = att_ref[:].astype(cd).reshape(heads * cdim)
-
-    def head_sum(a):
-        return jnp.stack(
-            [
-                jnp.sum(a[:, :, h * cdim:(h + 1) * cdim].astype(jnp.float32), axis=-1)
-                for h in range(heads)
-            ],
-            axis=-1,
-        )
-
-    def head_expand(a, dt):
-        # broadcast in f32 then cast: Mosaic only supports minor-dim
-        # broadcast for 32-bit types
-        return jnp.concatenate(
-            [
-                jnp.repeat(a[:, :, h:h + 1].astype(jnp.float32), cdim, axis=-1)
-                for h in range(heads)
-            ],
-            axis=-1,
-        ).astype(dt)
-
-    # running max over slots per head
-    m = jnp.full((X, Y, heads), -jnp.inf, jnp.float32)
-    for dx, dy in _SHIFTS:
-        v = _roll2(xl, dx, dy)
-        u, _ = _lrelu(xr + v)
-        logit = head_sum(u * att)
-        mask = _slot_mask(X, Y, dx, dy)
-        logit = jnp.where(mask[:, :, None] > 0, logit, -jnp.inf)
-        m = jnp.maximum(m, logit)
-
-    denom = jnp.zeros((X, Y, heads), jnp.float32)
-    acc = jnp.zeros((X, Y, heads * cdim), cd)
-    for dx, dy in _SHIFTS:
-        v = _roll2(xl, dx, dy)
-        u, _ = _lrelu(xr + v)
-        logit = head_sum(u * att)
-        mask = _slot_mask(X, Y, dx, dy)
-        w = jnp.where(mask[:, :, None] > 0, jnp.exp(logit - m), 0.0)  # (X, Y, H) f32
-        denom = denom + w
-        acc = acc + head_expand(w, cd) * v
-
-    out_ref[0] = (acc.astype(jnp.float32) / head_expand(denom, jnp.float32)).astype(
-        out_ref.dtype
-    )
-
-
-def _head_sum(a, heads, cdim):
-    # (X, Y, H*C) -> (X, Y, H) f32: per-head channel sum
-    return jnp.stack(
-        [
-            jnp.sum(a[:, :, h * cdim:(h + 1) * cdim].astype(jnp.float32), axis=-1)
-            for h in range(heads)
-        ],
-        axis=-1,
-    )
-
-
-def _head_expand(a, dt, heads, cdim):
-    # (X, Y, H) -> (X, Y, H*C); broadcast in f32 then cast (Mosaic only
-    # supports minor-dim broadcast for 32-bit types)
-    return jnp.concatenate(
-        [
-            jnp.repeat(a[:, :, h:h + 1].astype(jnp.float32), cdim, axis=-1)
-            for h in range(heads)
-        ],
-        axis=-1,
-    ).astype(dt)
-
-
-def _bwd_stats_kernel(xl_ref, xr_ref, att_ref, g_ref, m_ref, denom_ref, gvm_ref,
-                      *, heads, cdim):
-    """Backward pass 1: softmax stats (m, denom, g.out per head)."""
-    X, Y = xl_ref.shape[1], xl_ref.shape[2]
-    cd = xl_ref.dtype
-    xl = xl_ref[0]
-    xr = xr_ref[0]
-    g = g_ref[0].astype(cd)
-    att = att_ref[:].astype(cd).reshape(heads * cdim)
-
-    m = jnp.full((X, Y, heads), -jnp.inf, jnp.float32)
-    for dx, dy in _SHIFTS:
-        v = _roll2(xl, dx, dy)
-        u, _ = _lrelu(xr + v)
-        logit = _head_sum(u * att, heads, cdim)
-        mask = _slot_mask(X, Y, dx, dy)
-        logit = jnp.where(mask[:, :, None] > 0, logit, -jnp.inf)
-        m = jnp.maximum(m, logit)
-    denom = jnp.zeros((X, Y, heads), jnp.float32)
-    gv_sum = jnp.zeros((X, Y, heads), jnp.float32)
-    for dx, dy in _SHIFTS:
-        v = _roll2(xl, dx, dy)
-        u, _ = _lrelu(xr + v)
-        logit = _head_sum(u * att, heads, cdim)
-        mask = _slot_mask(X, Y, dx, dy)
-        w = jnp.where(mask[:, :, None] > 0, jnp.exp(logit - m), 0.0)
-        denom = denom + w
-        gv_sum = gv_sum + w * _head_sum(g * v, heads, cdim)
-    m_ref[0] = m
-    denom_ref[0] = denom
-    gvm_ref[0] = gv_sum / denom
-
-
-def _bwd_grad_kernel(xl_ref, xr_ref, att_ref, g_ref, m_ref, denom_ref, gvm_ref,
-                     dxl_ref, dxr_ref, datt_ref, *, heads, cdim):
-    """Backward pass 2: input/parameter gradients from the saved stats."""
-    X, Y = xl_ref.shape[1], xl_ref.shape[2]
-    cd = xl_ref.dtype
-    xl = xl_ref[0]
-    xr = xr_ref[0]
-    g = g_ref[0].astype(cd)
-    att = att_ref[:].astype(cd).reshape(heads * cdim)
-    m = m_ref[0]
-    denom = denom_ref[0]
-    gv_mean = gvm_ref[0]
-
-    dxr = jnp.zeros((X, Y, heads * cdim), cd)
-    dxl = jnp.zeros((X, Y, heads * cdim), cd)
-    datt = jnp.zeros((heads * cdim,), jnp.float32)
-    for dx, dy in _SHIFTS:
-        v = _roll2(xl, dx, dy)
-        u, pos = _lrelu(xr + v)
-        du = jnp.where(
-            pos, jnp.asarray(1.0, jnp.float32), jnp.asarray(NEG_SLOPE, jnp.float32)
-        ).astype(cd)
-        logit = _head_sum(u * att, heads, cdim)
-        mask = _slot_mask(X, Y, dx, dy)
-        w = jnp.where(mask[:, :, None] > 0, jnp.exp(logit - m), 0.0)
-        a = w / denom  # (X, Y, H) f32
-        dlogit = a * (_head_sum(g * v, heads, cdim) - gv_mean)
-        dlog_full = _head_expand(dlogit, cd, heads, cdim)
-        chain = dlog_full * att * du  # (X, Y, H*C)
-        dxr = dxr + chain
-        # contributions to x_l at the SOURCE pixel: reverse shift (wrapped
-        # values are zero because invalid slots have a = chain = 0)
-        contrib = _head_expand(a, cd, heads, cdim) * g + chain
-        dxl = dxl + _roll2(contrib, -dx, -dy)
-        datt = datt + jnp.sum((dlog_full * u).astype(jnp.float32), axis=(0, 1))
-
-    dxl_ref[0] = dxl.astype(dxl_ref.dtype)
-    dxr_ref[0] = dxr.astype(dxr_ref.dtype)
-    datt_ref[0, 0] = datt.astype(jnp.float32)
-
-
-def _call_fwd(xl, xr, att, heads, cdim, interpret=False):
-    Bf, X, Y, F = xl.shape
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, heads=heads, cdim=cdim),
-        grid=(Bf,),
-        in_specs=[
-            pl.BlockSpec((1, X, Y, F), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, X, Y, F), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, cdim), lambda b: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, X, Y, F), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bf, X, Y, F), xl.dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(xl, xr, att)
-
-
-def _call_bwd(xl, xr, att, g, heads, cdim, interpret=False):
-    """Two-kernel backward (stats, then grads): each compiles with a modest
-    working set; stats tensors travel through HBM between the calls."""
-    Bf, X, Y, F = xl.shape
-    frame = lambda: pl.BlockSpec((1, X, Y, F), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM)
-    stat = lambda: pl.BlockSpec((1, X, Y, heads), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM)
-    att_spec = pl.BlockSpec((heads, cdim), lambda b: (0, 0), memory_space=pltpu.VMEM)
-    cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-
-    m, denom, gvm = pl.pallas_call(
-        functools.partial(_bwd_stats_kernel, heads=heads, cdim=cdim),
-        grid=(Bf,),
-        in_specs=[frame(), frame(), att_spec, frame()],
-        out_specs=(stat(), stat(), stat()),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((Bf, X, Y, heads), jnp.float32) for _ in range(3)
-        ),
-        compiler_params=cp,
-        interpret=interpret,
-    )(xl, xr, att, g)
-
-    dxl, dxr, datt = pl.pallas_call(
-        functools.partial(_bwd_grad_kernel, heads=heads, cdim=cdim),
-        grid=(Bf,),
-        in_specs=[frame(), frame(), att_spec, frame(), stat(), stat(), stat()],
-        out_specs=(
-            frame(),
-            frame(),
-            pl.BlockSpec((1, 1, F), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((Bf, X, Y, F), xl.dtype),
-            jax.ShapeDtypeStruct((Bf, X, Y, F), xl.dtype),
-            jax.ShapeDtypeStruct((Bf, 1, F), jnp.float32),
-        ),
-        compiler_params=cp,
-        interpret=interpret,
-    )(xl, xr, att, g, m, denom, gvm)
-    return dxl, dxr, datt.sum(axis=(0, 1)).reshape(heads, cdim)
-
-
 def _xla_slot_attention(xl, xr, att, heads, cdim):
-    """Dense XLA fallback (same math; used for the default backward)."""
+    """Dense XLA fallback (same math; used below the batch threshold)."""
     lead = xl.shape[:-1]
     xr_h = xr.reshape(*lead, heads, cdim)
     X, Y = xl.shape[-3], xl.shape[-2]
@@ -311,13 +304,12 @@ def _xla_slot_attention(xl, xr, att, heads, cdim):
     return out.reshape(*lead, heads * cdim)
 
 
-# The fused Pallas backward compiles in interpret mode and passes gradient
-# parity, but the axon remote-compile helper is killed (host OOM) lowering
-# it for real TPU shapes — default to XLA recompute for the backward and
-# keep the kernel behind FLUID_GNN_FUSED_BWD=1 for toolchains that take it.
 import os as _os
 
-_USE_FUSED_BWD = _os.environ.get("FLUID_GNN_FUSED_BWD") == "1"
+# Fused-backward rollout: the channels-first kernels above are the first
+# formulation that both lowers AND wins at production shapes on this
+# toolchain; FLUID_GNN_FUSED_BWD=0 opts back to the XLA-recompute backward.
+_USE_FUSED_BWD = _os.environ.get("FLUID_GNN_FUSED_BWD", "1") != "0"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -354,8 +346,9 @@ def supported(x_shape, heads: int, cdim: int, min_frames: int = 16) -> bool:
         n_frames >= min_frames
         and X * Y * F <= _VMEM_LIMIT_ELEMS
         and F == heads * cdim
-        # heads > 1 trips a Mosaic "unsupported shape cast" in the per-head
-        # reduction on this toolchain; production decoders use heads=1
-        # (``config.py:81``, matching the reference's GATv2 default)
+        # production decoders use heads=1 (``config.py:81``); multi-head is
+        # interpret-tested but not hardware-qualified on this toolchain, and
+        # a Mosaic lowering failure inside a jitted train step cannot be
+        # caught by the dispatch fallback
         and heads == 1
     )

@@ -67,7 +67,7 @@ def check_grid_gnn(frames: int = 16, fused_bwd: bool | None = None) -> None:
     from fluid_llm_tpu.ops import grid_gnn_pallas as gp
 
     if fused_bwd is None:
-        fused_bwd = os.environ.get("FLUID_GNN_FUSED_BWD") == "1"
+        fused_bwd = os.environ.get("FLUID_GNN_FUSED_BWD", "1") != "0"
 
     rng = np.random.default_rng(1)
     # production decoder shape: heads=1, cdim=48 (config.py:78-81), 240x64 grid
@@ -93,11 +93,13 @@ def check_grid_gnn(frames: int = 16, fused_bwd: bool | None = None) -> None:
     assert dev_k < max(2.5 * dev_x, 0.05), f"grid-gnn bf16: kernel {dev_k} vs xla {dev_x}"
 
     if fused_bwd:
+        # gradient parity in f32 (strict — isolates kernel logic from the
+        # bf16 rounding-path divergence quantified in the forward check)
         def loss_fused(a, b, c):
-            return jnp.sum(gp.fused_slot_attention(a, b, c, heads, cdim).astype(jnp.float32) ** 2)
+            return jnp.sum(gp.fused_slot_attention(a, b, c, heads, cdim) ** 2)
 
         def loss_ref(a, b, c):
-            return jnp.sum(gp._xla_slot_attention(a, b, c.astype(a.dtype), heads, cdim).astype(jnp.float32) ** 2)
+            return jnp.sum(gp._xla_slot_attention(a, b, c, heads, cdim) ** 2)
 
         gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(xl, xr, att)
         gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(xl, xr, att)
@@ -106,7 +108,7 @@ def check_grid_gnn(frames: int = 16, fused_bwd: bool | None = None) -> None:
             b = np.asarray(b, np.float32)
             scale = max(np.abs(b).max(), 1e-6)
             rel = np.abs(a - b).max() / scale
-            assert rel < 5e-2, f"grid-gnn d{name} rel diff {rel}"
+            assert rel < 1e-3, f"grid-gnn d{name} rel diff {rel}"
         print("grid-gnn fused fwd+bwd parity OK")
     else:
         print("grid-gnn fused fwd parity OK (bwd: XLA recompute default)")

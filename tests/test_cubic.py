@@ -79,3 +79,34 @@ def test_to_grid_cubic_oracle():
     assert both.sum() > 0.95 * inside.sum()
     np.testing.assert_allclose(data[both], np.asarray(ref.data)[both], atol=5e-5, rtol=0)
     assert (mask == np.asarray(ref.mask, bool)).mean() > 0.99
+
+
+def test_device_cubic_resample_matches_host():
+    """Precomputed pixel-weight path (gather+FMA, jittable) == host HCT."""
+    import jax
+
+    from fluid_llm_tpu.core.cubic import (
+        estimate_gradients,
+        get_cubic_mesh_interpolation,
+        resample_to_grid_cubic,
+    )
+
+    rng = np.random.default_rng(11)
+    N = 90
+    pos = rng.uniform(size=(N, 2)) * np.array([2.0, 1.0])
+    tr = mtri.Triangulation(pos[:, 0], pos[:, 1])
+    z = np.sin(2 * pos[:, 0]) + pos[:, 1] ** 3
+    gx_grid, gy_grid = np.meshgrid(
+        np.linspace(0, 2, 32), np.linspace(0, 1, 16), indexing="ij"
+    )
+
+    interp = get_cubic_mesh_interpolation(pos, tr.triangles, gx_grid, gy_grid)
+    gx, gy = estimate_gradients(pos, tr.triangles, z, kind="geom")
+    dev = jax.jit(resample_to_grid_cubic)(
+        z.astype(np.float32), gx.astype(np.float32), gy.astype(np.float32),
+        interp.vert_idx, interp.wf, interp.wgx, interp.wgy, interp.mask,
+    )
+
+    host, mask = to_grid_cubic(z, pos, tr.triangles, gx_grid, gy_grid, kind="geom")
+    np.testing.assert_allclose(np.asarray(dev), host, atol=2e-4, rtol=0)
+    assert (np.asarray(dev)[mask] == 0).all()
