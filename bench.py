@@ -106,6 +106,65 @@ def bench_train():
     print(json.dumps(rec))
 
 
+def bench_streaming():
+    """KV-cache streaming rollout (``rollout/streaming.py``) at the reference
+    protocol geometry, rope backbone (``fluid/llama-125m``).  Contrasts with
+    the exact re-encoding rollout that ``main()`` measures — see BENCHMARKS.md
+    for the semantics difference."""
+    import jax
+
+    from fluid_llm_tpu.config import Config
+    from fluid_llm_tpu.data.pipeline import make_batches
+    from fluid_llm_tpu.data.synthetic import SyntheticCylinderDataset
+    from fluid_llm_tpu.models.fluid_llm import FluidLLM
+    from fluid_llm_tpu.rollout.streaming import generate_streaming
+
+    PRED_STEPS = int(os.environ.get("BENCH_ROLLOUT_STEPS", 251))
+    SEQ_LEN = 10
+
+    cfg = Config(
+        llm_backbone="fluid/llama-125m",
+        half_precision=True,
+        use_lora=False,
+        batch_size=1,
+        autoreg_seq_len=SEQ_LEN,
+        seq_len=SEQ_LEN,
+        resolution=238,
+        flash_attention=True,
+        pos_embedding_params={"pos_embedding_type": "rope_abs",
+                              "input_emb_layer_dropout": 0.0},
+    )
+    ds = SyntheticCylinderDataset(
+        n_trajectories=1, resolution=238, seq_len=SEQ_LEN, mode="test", max_steps=600
+    )
+    model = FluidLLM.build(cfg, ds.ds_props())
+    batch = next(make_batches(ds, 1, shuffle=False))
+    states, _, _, bc_mask, pos = batch
+    params = model.prepare_inference_params(model.init(jax.random.PRNGKey(0)))
+
+    roll = jax.jit(
+        lambda p, s, m, pid: generate_streaming(model, p, s, m, pid, PRED_STEPS)
+    )
+
+    t0 = time.time()
+    st, _ = roll(params, states[:, :1], bc_mask, pos)
+    _sync(st)
+    print(f"streaming compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    n_rep = 3
+    t0 = time.time()
+    for _ in range(n_rep):
+        st, _ = roll(params, states[:, :1], bc_mask, pos)
+        _sync(st)
+    dt = (time.time() - t0) / n_rep
+    print(json.dumps({
+        "metric": "streaming_rollout_steps_per_sec_per_chip",
+        "value": round(PRED_STEPS / dt, 2),
+        "unit": "steps/s",
+        "vs_baseline": 1.0,
+    }))
+
+
 def main():
     import jax
 
@@ -189,6 +248,9 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "train":
         bench_train()
+        sys.exit(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "streaming":
+        bench_streaming()
         sys.exit(0)
     try:
         main()

@@ -45,11 +45,14 @@ class PosEmbeddingConfig:
 
     in_emb_ln_eps: Optional[float] = None
     input_emb_layer_dropout: Optional[float] = 0.1
-    pos_embedding_type: str = "pos"  # "pos" | "rope"
+    # "pos"/"rope" are the reference's modes; "rope_abs" is the TPU-native
+    # cache-stable variant (static spatial scales, absolute time — required
+    # by the streaming KV-cache serving path, ``rollout/streaming.py``)
+    pos_embedding_type: str = "pos"  # "pos" | "rope" | "rope_abs"
     init_pos_embed: str = "normal"  # "normal" | "zero" | "scaled"
 
     def __post_init__(self):
-        if self.pos_embedding_type not in ("pos", "rope"):
+        if self.pos_embedding_type not in ("pos", "rope", "rope_abs"):
             raise ValueError(f"pos_embedding_type: {self.pos_embedding_type}")
         if self.init_pos_embed not in ("normal", "zero", "scaled"):
             raise ValueError(f"init_pos_embed: {self.init_pos_embed}")
@@ -169,6 +172,11 @@ class Config:
 
     # TPU-native additions
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    # absolute trajectory-step time ids instead of the reference's
+    # window-relative ones — the training-side requirement of the streaming
+    # KV-cache serving path (``rollout/streaming.py``; needs ``rope_abs``
+    # input embeddings so unbounded t stays well-defined)
+    absolute_time_ids: bool = False
     seed: int = 1234  # reference seeds 1234 globally (``src/utils.py:23``)
     profile_dir: Optional[str] = None  # jax.profiler trace output, if set
     # gradient accumulation (the reference's ``accelerator.accumulate``,
@@ -205,6 +213,14 @@ class Config:
                 raise ValueError(f"Unknown loss function {fn}")
         if len(self.loss_function) != len(self.loss_weighting):
             raise ValueError("loss_function and loss_weighting length mismatch")
+        if (
+            self.absolute_time_ids
+            and self.pos_embedding_params.pos_embedding_type != "rope_abs"
+        ):
+            raise ValueError(
+                "absolute_time_ids needs pos_embedding_type: rope_abs (the "
+                "learned t-table is bounded and 'rope' renormalises by batch max)"
+            )
 
     # -- YAML interface -----------------------------------------------------
 

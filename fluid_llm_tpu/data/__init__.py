@@ -17,6 +17,7 @@ def get_dataset(cfg: Config, mode: str = "train") -> PatchDataset:
         seq_interval=cfg.seq_interval,
         mode=mode,
         normalize=cfg.normalize_ds,
+        absolute_time=cfg.absolute_time_ids,
     )
     # route by substring like the reference's eval loader (``inference.py:28-45``)
     if "airfoil" in name:

@@ -58,6 +58,7 @@ class AirfoilDataset(PatchDataset):
         normalize: bool = True,
         max_cache: int = 8,
         seed: int = 1234,
+        absolute_time: bool = False,
     ):
         super().__init__(
             resolution=resolution,
@@ -70,6 +71,7 @@ class AirfoilDataset(PatchDataset):
             stds=AIRFOIL_STDS,
             max_steps=600,
             seed=seed,
+            absolute_time=absolute_time,
         )
         self.load_dir = load_dir
         # natsorted file list (``airfoil_ds.py:44``)

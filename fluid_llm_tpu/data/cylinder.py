@@ -35,6 +35,7 @@ class MGNDataset(PatchDataset):
         normalize: bool = True,
         max_cache: int = 8,
         seed: int = 1234,
+        absolute_time: bool = False,
     ):
         super().__init__(
             resolution=resolution,
@@ -47,6 +48,7 @@ class MGNDataset(PatchDataset):
             stds=CYLINDER_STDS,
             max_steps=600,  # ``simple_dataloader.py:40``
             seed=seed,
+            absolute_time=absolute_time,
         )
         self.load_dir = load_dir
         self.save_files = sorted(f for f in os.listdir(load_dir) if f.endswith(".pkl"))

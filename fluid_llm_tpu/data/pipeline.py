@@ -98,15 +98,21 @@ def window_to_patches(
     return input_states, next_state, diffs, bc_mask
 
 
-def position_ids(seq_len_m1: int, nx_patch: int, ny_patch: int) -> np.ndarray:
+def position_ids(
+    seq_len_m1: int, nx_patch: int, ny_patch: int, t_base: int = 0
+) -> np.ndarray:
     """``simple_dataloader.py:218-226`` — reproduced exactly, including the
     quirky x-fastest labelling that doesn't match the y-fastest patch order
-    (harmless: the embeddings are learned per index)."""
+    (harmless: the embeddings are learned per index).
+
+    ``t_base``: offset added to the time axis — 0 reproduces the reference's
+    window-relative ids; the absolute-time variant (``Config.absolute_time_ids``,
+    for streaming-served rope models) passes the window's trajectory step."""
     n_patch = nx_patch * ny_patch
     arange = np.arange(seq_len_m1 * n_patch)
     x_idx = arange % nx_patch
     y_idx = (arange // nx_patch) % ny_patch
-    t_idx = arange // n_patch
+    t_idx = arange // n_patch + t_base
     return np.stack([x_idx, y_idx, t_idx], axis=1).reshape(seq_len_m1, n_patch, 3).astype(np.int32)
 
 
@@ -147,9 +153,11 @@ class PatchDataset:
         stds: Sequence[float] = (1.0, 1.0, 1.0),
         max_steps: int = 600,
         seed: int = 1234,
+        absolute_time: bool = False,
     ):
         assert mode in ("train", "valid", "test")
         self.mode = mode
+        self.absolute_time = absolute_time
         self.resolution = resolution
         self.patch_size = tuple(patch_size)
         self.seq_len = seq_len
@@ -231,7 +239,10 @@ class PatchDataset:
             patch=self.patch_size, pad_x=pad_x, pad_y=pad_y,
             flip_y=self.flip_y, trim=self.trim_patches, masked_norm=self.masked_norm,
         )
-        pos = position_ids(self.seq_len - 1, nx, ny)
+        pos = position_ids(
+            self.seq_len - 1, nx, ny,
+            t_base=step_num if self.absolute_time else 0,
+        )
         return input_states, next_state, diffs, bc_mask, pos
 
     def __getitem__(self, idx: int):

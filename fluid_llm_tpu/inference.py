@@ -40,13 +40,25 @@ def test_generate(
     pred_steps: int = 251,
     ctx_states: int = 1,
     plot_dir: str | None = None,
+    streaming: bool = False,
 ):
-    """``src/inference.py:82-147``; returns (per-step N-RMSE, mean)."""
+    """``src/inference.py:82-147``; returns (per-step N-RMSE, mean).
+
+    ``streaming=True`` serves through the KV-cache path
+    (``rollout/streaming.py``) — rope-backbone models only.
+    """
     end_state = pred_steps + ctx_states - 1
 
-    roll = jax.jit(
-        lambda p, batch: gen_seq(model, p, batch, pred_steps, start_state=ctx_states)
-    )
+    if streaming:
+        from fluid_llm_tpu.rollout.streaming import gen_seq_streaming
+
+        roll = jax.jit(
+            lambda p, batch: gen_seq_streaming(model, p, batch, pred_steps, start_state=ctx_states)
+        )
+    else:
+        roll = jax.jit(
+            lambda p, batch: gen_seq(model, p, batch, pred_steps, start_state=ctx_states)
+        )
 
     n_rmses = []
     first_batch = None
@@ -106,6 +118,10 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--plot_dir", default=None)
     parser.add_argument("--csv", default=None, help="write per-step N-RMSE CSV")
+    parser.add_argument(
+        "--streaming", action="store_true",
+        help="serve via the KV-cache streaming rollout (rope backbones only)",
+    )
     args = parser.parse_args(argv)
 
     set_seed()
@@ -136,6 +152,7 @@ def main(argv=None):
     per_step, mean = test_generate(
         model, params, test_ds,
         batch_size=args.batch_size, pred_steps=args.pred_steps, plot_dir=args.plot_dir,
+        streaming=args.streaming,
     )
     if args.csv:
         import csv as _csv

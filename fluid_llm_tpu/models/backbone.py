@@ -114,6 +114,15 @@ PRESETS: dict[str, BackboneConfig] = {
         act="silu", norm="rmsnorm", pos="rope", ln_eps=1e-6,
         max_pos=2048, vocab_size=32000, dropout=0.0,
     ),
+    # TPU-native addition (no HF counterpart): an OPT-125m-scale llama-style
+    # backbone.  Rotary positions make it compatible with the streaming
+    # KV-cache serving path (``rollout/streaming.py``), which learned
+    # absolute positions (OPT/GPT-2) structurally cannot support.
+    "fluid/llama-125m": BackboneConfig(
+        family="llama", n_layers=12, d_model=768, n_heads=12, d_ff=2048,
+        act="silu", norm="rmsnorm", pos="rope", ln_eps=1e-6,
+        max_pos=32768, vocab_size=32000, dropout=0.0,
+    ),
 }
 
 
@@ -331,6 +340,8 @@ def apply(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     decode_slice: Optional[tuple[jnp.ndarray, int]] = None,
+    positions_override: Optional[jnp.ndarray] = None,
+    allowed_override: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Run the backbone over ``inputs_embeds`` (bs, L, d) -> (bs, L, d).
 
@@ -343,6 +354,9 @@ def apply(
     contiguous token range — exact for causal attention since later layers'
     outputs elsewhere are never read — and the result has shape
     (bs, length, d).  Rollout uses this to decode a single frame.
+    ``positions_override``/``allowed_override``: replace the cumsum positions
+    / causal mask — used by the streaming-equivalence oracle
+    (``tests/test_streaming.py``) to express banded sliding-window attention.
     """
     from fluid_llm_tpu.models.lora import lora_linear
 
@@ -352,6 +366,10 @@ def apply(
     if valid is None:
         valid = jnp.ones((bs, L), bool)
     positions, allowed = make_masks(valid)
+    if positions_override is not None:
+        positions = positions_override
+    if allowed_override is not None:
+        allowed = allowed_override
 
     # HF OPT order: project_in first, THEN add positional embeddings (which
     # live at d_model) — ``OPTDecoder.forward``
@@ -512,6 +530,133 @@ def _final_block_sliced(x, layer_params, layer_lora, cfg: BackboneConfig,
     if not cfg.pre_ln:
         x_s = _norm(x_s, layer_params["ln2"], cfg)
     return x_s
+
+
+# --------------------------------------------------------------------------
+# streaming KV-cache decode (TPU-native serving addition; no reference
+# counterpart — the reference re-encodes the whole window every step,
+# ``src/models/model.py:168-216``)
+# --------------------------------------------------------------------------
+
+
+def init_streaming_cache(cfg: BackboneConfig, bs: int, capacity: int) -> Params:
+    """Fixed-shape per-layer K/V ring buffer, scan-carry friendly.
+
+    ``pos`` holds each slot's absolute token position (-1 = never written);
+    ``valid`` marks written slots.  Overwritten slots simply get the new
+    token's (k, v, pos) — the mask ``pos <= q_pos`` stays correct because
+    every resident token precedes the incoming queries.
+    """
+    kvh, hd = cfg.kv_heads, cfg.head_dim
+    return {
+        "k": jnp.zeros((cfg.n_layers, bs, capacity, kvh, hd), cfg.dtype),
+        "v": jnp.zeros((cfg.n_layers, bs, capacity, kvh, hd), cfg.dtype),
+        "pos": jnp.full((capacity,), -1, jnp.int32),
+        "valid": jnp.zeros((capacity,), bool),
+    }
+
+
+def apply_streaming(
+    params: Params,
+    cfg: BackboneConfig,
+    x_new: jnp.ndarray,
+    new_positions: jnp.ndarray,
+    cache: Params,
+    write_offset,
+) -> tuple[jnp.ndarray, Params]:
+    """Run all blocks over ``x_new`` (bs, Ln, d) against cached K/V.
+
+    Each token is encoded ONCE: its K/V enter the cache (post-rope) and are
+    never recomputed, so earlier tokens keep the representations they had
+    when the now-evicted frames were still visible — standard sliding-window
+    LLM serving semantics (equal to dense attention with a banded mask), NOT
+    the reference's re-encode-per-window semantics.  Requires rotary
+    positions (relative ⇒ cache-stable); learned-position backbones
+    (OPT/GPT-2) re-base token positions per window, so their caches would be
+    semantically wrong — rejected here.
+
+    ``new_positions``: (Ln,) absolute token positions, shared across batch.
+    ``write_offset``: traced scalar slot index; the Ln tokens are written
+    contiguously (callers keep frames slot-aligned so a write never wraps).
+    Inference-only: merged LoRA (``prepare_inference_params``), no dropout.
+    """
+    if cfg.pos != "rope":
+        raise ValueError(
+            "streaming decode requires rotary positions (llama family); "
+            f"backbone family {cfg.family!r} uses {cfg.pos!r} positions"
+        )
+    bs, Ln = x_new.shape[:2]
+    d = cfg.d_model
+    kv_dim = cfg.kv_heads * cfg.head_dim
+    x = x_new.astype(cfg.dtype)
+    if "project_in" in params:
+        x = _linear(x, params["project_in"])
+
+    new_positions = new_positions.astype(jnp.int32)
+    pos = jax.lax.dynamic_update_slice(cache["pos"], new_positions, (write_offset,))
+    valid = jax.lax.dynamic_update_slice(
+        cache["valid"], jnp.ones((Ln,), bool), (write_offset,)
+    )
+    # every resident token precedes (or is) each query: causality — including
+    # among the Ln new tokens themselves — reduces to a position comparison
+    allowed = valid[None, None, None, :] & (
+        pos[None, None, None, :] <= new_positions[None, None, :, None]
+    )
+    pos_b = jnp.broadcast_to(new_positions[None, :], (bs, Ln))
+
+    ks, vs = [], []
+    for li in range(cfg.n_layers):
+        lp = params["layers"][li]
+        h = _norm(x, lp["ln1"], cfg) if cfg.pre_ln else x
+        if "qkv" in lp["attn"]:
+            qkv = _linear(h, lp["attn"]["qkv"])
+            q, k, v = qkv[..., :d], qkv[..., d:d + kv_dim], qkv[..., d + kv_dim:]
+        else:
+            q = _linear(h, lp["attn"]["q"])
+            k = _linear(h, lp["attn"]["k"])
+            v = _linear(h, lp["attn"]["v"])
+        q = q.reshape(bs, Ln, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(bs, Ln, cfg.kv_heads, cfg.head_dim)
+        v = v.reshape(bs, Ln, cfg.kv_heads, cfg.head_dim)
+        q, k = _rope(q, k, pos_b, cfg)
+
+        ck = jax.lax.dynamic_update_slice(
+            cache["k"][li], k.astype(cache["k"].dtype), (0, write_offset, 0, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cache["v"][li], v.astype(cache["v"].dtype), (0, write_offset, 0, 0)
+        )
+        ks.append(ck)
+        vs.append(cv)
+
+        kk, vv = ck.astype(cfg.dtype), cv.astype(cfg.dtype)
+        if cfg.kv_heads != cfg.n_heads:
+            rep = cfg.n_heads // cfg.kv_heads
+            kk = jnp.repeat(kk, rep, axis=2)
+            vv = jnp.repeat(vv, rep, axis=2)
+        attn_out = _attention_xla(q, kk, vv, allowed, cfg.dtype)
+        x = x + _linear(attn_out.reshape(bs, Ln, d), lp["attn"]["o"])
+        if not cfg.pre_ln:
+            x = _norm(x, lp["ln1"], cfg)
+
+        h2 = _norm(x, lp["ln2"], cfg) if cfg.pre_ln else x
+        if cfg.family == "llama":
+            h2 = _linear(
+                jax.nn.silu(_linear(h2, lp["mlp"]["gate"])) * _linear(h2, lp["mlp"]["up"]),
+                lp["mlp"]["down"],
+            )
+        else:
+            h2 = _linear(_act(_linear(h2, lp["mlp"]["fc1"]), cfg.act), lp["mlp"]["fc2"])
+        x = x + h2
+        if not cfg.pre_ln:
+            x = _norm(x, lp["ln2"], cfg)
+
+    if cfg.final_ln:
+        x = _norm(x, params["final_norm"], cfg)
+    if "project_out" in params:
+        x = _linear(x, params["project_out"])
+    new_cache = {"k": jnp.stack(ks), "v": jnp.stack(vs), "pos": pos, "valid": valid}
+    return x, new_cache
 
 
 def _sdpa(q, k, v, allowed, valid, cfg: BackboneConfig):

@@ -94,6 +94,39 @@ def rotary3d_apply(x: jnp.ndarray, position_ids: jnp.ndarray, hidden_dim: int) -
     return x + pe.reshape(bs, seq, n, d).astype(x.dtype)
 
 
+def rotary3d_abs_apply(
+    x: jnp.ndarray, position_ids: jnp.ndarray, spatial_scale: tuple[int, int]
+) -> jnp.ndarray:
+    """Cache-stable variant of ``rotary3d_apply`` for streaming serving.
+
+    ``rotary3d_apply`` normalises every axis by the *batch max* — the time
+    axis's encoding therefore changes as the rollout window slides, which
+    invalidates any KV cache.  Here the spatial axes are normalised by the
+    STATIC patch-grid extent (``spatial_scale``) and time is consumed raw
+    through the standard sinusoidal wavelength ladder, so a token's
+    embedding is a pure function of its absolute (x, y, t) — frozen once
+    computed.  Opt-in (``pos_embedding_type: rope_abs``); not a reference
+    mode.  x: (bs, seq, N_patch, d); position_ids: (bs, seq, N_patch, 3).
+    """
+    bs, seq, n, d = x.shape
+    pos = position_ids.reshape(bs, seq * n, 3).astype(jnp.float32)
+    sx, sy = spatial_scale
+    scale = jnp.asarray([max(sx - 1, 1), max(sy - 1, 1), 1.0], jnp.float32)
+    pos = pos / scale * (2 * math.pi)
+    # time stays unnormalised: angles t * 2pi / dim_t are unbounded but
+    # well-defined; the wavelength ladder resolves both short and long lags
+
+    third = d // 3
+    dim_t = jnp.power(10000.0, 2.0 * jnp.arange(third, dtype=jnp.float32) / d)
+
+    pe = jnp.zeros((bs, seq * n, d), jnp.float32)
+    for i in range(3):
+        pos_i = pos[:, :, i][:, :, None] / dim_t
+        pe_i = jnp.stack([jnp.sin(pos_i), jnp.cos(pos_i)], axis=2).reshape(bs, seq * n, -1)
+        pe = pe.at[:, :, i * third:(i + 1) * third].set(pe_i[:, :, :third])
+    return x + pe.reshape(bs, seq, n, d).astype(x.dtype)
+
+
 # -- combined input embeddings (``input_embeddings.py:9-52``) ----------------
 
 
@@ -123,11 +156,16 @@ def input_embeddings_apply(
     *,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    spatial_scale: Optional[tuple[int, int]] = None,
 ) -> jnp.ndarray:
     """(bs, seq, N_patch, C, px, py) -> (bs, seq, N_patch, llm_dim)."""
     h = patch_encoder_apply(params["patch"], x, enc_cfg)
     if emb_cfg.pos_embedding_type == "pos":
         h = pos_embed_apply(params["pos"], h, position_ids)
+    elif emb_cfg.pos_embedding_type == "rope_abs":
+        if spatial_scale is None:
+            raise ValueError("rope_abs needs the static spatial_scale (Nx, Ny)")
+        h = rotary3d_abs_apply(h, position_ids, spatial_scale)
     else:
         h = rotary3d_apply(h, position_ids, h.shape[-1])
     if "ln" in params:

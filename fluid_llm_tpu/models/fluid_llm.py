@@ -150,6 +150,7 @@ class FluidLLM:
         h = input_embeddings_apply(
             params["input_emb"], x, position_ids, cfg.encoder_params,
             cfg.pos_embedding_params, train=train, rng=r_emb,
+            spatial_scale=(self.ds_props.Nx_patch, self.ds_props.Ny_patch),
         )
         h = h.astype(self.backbone_cfg.dtype)
         h = h.reshape(bs, seq_len * n_patch, -1)
@@ -210,6 +211,30 @@ class FluidLLM:
             return self.forward_see_init(params, states, position_ids, **kw)
         return self.forward(params, states, position_ids, **kw)
 
+    def embed_frames(self, params: Params, states, position_ids) -> jnp.ndarray:
+        """Inference-path input embeddings for whole frames.
+
+        states: (bs, f, N_patch, C, px, py); position_ids: (bs, f, N_patch, 3)
+        -> (bs, f*N_patch, d) in the backbone dtype.  Used by the streaming
+        rollout to encode each new frame exactly once.
+        """
+        h = input_embeddings_apply(
+            params["input_emb"], states, position_ids, self.cfg.encoder_params,
+            self.cfg.pos_embedding_params,
+            spatial_scale=(self.ds_props.Nx_patch, self.ds_props.Ny_patch),
+        )
+        bs, f, n = states.shape[:3]
+        return h.astype(self.backbone_cfg.dtype).reshape(bs, f * n, -1)
+
+    def decode_frame_tokens(self, params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
+        """Backbone output tokens of ONE frame (bs, N_patch, d) -> diff image
+        (bs, 3, X, Y), scaled (``model.py:151-152``)."""
+        preds = patch_decoder_apply(
+            params["decoder"], tokens[:, None], self.ds_props, self.cfg.decoder_params
+        )
+        preds = jnp.transpose(preds[:, 0], (0, 3, 1, 2)).astype(jnp.float32)
+        return preds * self.cfg.diff_scale_factor
+
     def predict_frame_diff(
         self,
         params: Params,
@@ -255,6 +280,7 @@ class FluidLLM:
         h = input_embeddings_apply(
             params["input_emb"], states, position_ids, cfg.encoder_params,
             cfg.pos_embedding_params,
+            spatial_scale=(self.ds_props.Nx_patch, self.ds_props.Ny_patch),
         )
         h = h.astype(self.backbone_cfg.dtype).reshape(bs, seq_len * n_patch, -1)
         token_valid = jnp.repeat(frame_valid, n_patch, axis=1)

@@ -68,18 +68,36 @@ def generate(
     spatial = jnp.broadcast_to(
         position_ids[:, :1, :, :2], (bs, W, n_patch, 2)
     ).astype(position_ids.dtype)
-    # the see-init duplicated frame always carries t=0
+    # the see-init duplicated frame always carries t=0 (window-relative mode)
     dup_pos = jnp.concatenate(
         [spatial[:, 0], jnp.zeros((bs, n_patch, 1), position_ids.dtype)], axis=-1
     )
     slot = jnp.arange(W)[None, :]
+    # absolute-time variant (``Config.absolute_time_ids``): t ids follow the
+    # trajectory step instead of being re-zeroed per window, so the exact
+    # rollout evaluates streaming-native models consistently
+    abs_t = model.cfg.absolute_time_ids
+    t0 = position_ids[:, 0, 0, 2].astype(position_ids.dtype)  # window base step
 
     def step(buffer, i):
         k = jnp.minimum(init_len + i, W)  # frames currently in the window
         start = W - k
         frame_valid = jnp.broadcast_to(slot >= start, (bs, W))
-        # re-zeroed time ids (``model.py:196-199``): valid frame j -> j-start
-        t_ids = jnp.maximum(slot - start, 0).astype(position_ids.dtype)
+        if abs_t:
+            # valid slot j holds trajectory step t0 + (init_len+i) - W + j
+            t_ids = jnp.maximum(t0[:, None] + init_len + i - W + slot, 0)
+            t_ids = t_ids.astype(position_ids.dtype)
+            dup_t = (t0 + jnp.maximum(init_len + i - W, 0)).astype(position_ids.dtype)
+            dpos = jnp.concatenate(
+                [spatial[:, 0],
+                 jnp.broadcast_to(dup_t[:, None, None], (bs, n_patch, 1))],
+                axis=-1,
+            )
+        else:
+            # re-zeroed time ids (``model.py:196-199``): valid frame j -> j-start
+            t_ids = jnp.maximum(slot - start, 0).astype(position_ids.dtype)
+            t_ids = jnp.broadcast_to(t_ids, (bs, W))
+            dpos = dup_pos
         wpos = jnp.concatenate(
             [spatial, jnp.broadcast_to(t_ids[:, :, None, None], (bs, W, n_patch, 1))],
             axis=-1,
@@ -94,7 +112,7 @@ def generate(
         # (``model.py:163``)
         last_img = model.predict_frame_diff(
             params, buffer, wpos, frame_valid, W - 1,
-            init_frame=(first_valid, dup_pos),
+            init_frame=(first_valid, dpos),
         )
         diffs = img_to_patch(last_img[:, None], model.ds_props)[:, 0]
 
