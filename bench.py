@@ -134,6 +134,8 @@ def bench_streaming():
         pos_embedding_params={"pos_embedding_type": "rope_abs",
                               "input_emb_layer_dropout": 0.0},
     )
+    if os.environ.get("FLUID_BENCH_DECODER"):  # attribution experiments
+        cfg.decoder_params.type = os.environ["FLUID_BENCH_DECODER"]
     ds = SyntheticCylinderDataset(
         n_trajectories=1, resolution=238, seq_len=SEQ_LEN, mode="test", max_steps=600
     )

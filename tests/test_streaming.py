@@ -26,7 +26,7 @@ from fluid_llm_tpu.models.fluid_llm import FluidLLM
 from fluid_llm_tpu.ops.patching import img_to_patch
 from fluid_llm_tpu.rollout.streaming import generate_streaming
 
-TINY_LLAMA = dict(n_layers=2, d_model=66, n_heads=3, d_ff=128, max_pos=4096, dropout=0.0)
+TINY_LLAMA = dict(n_layers=2, d_model=64, n_heads=4, d_ff=128, max_pos=4096, dropout=0.0)
 
 
 def llama_setup(seq_len=5, ds_kw=None, **cfg_kw):
@@ -257,6 +257,60 @@ def test_absolute_time_exact_rollout_matches_oracle():
     np.testing.assert_allclose(
         np.asarray(st[:, 1:]), np.stack(oracle_states, axis=1), atol=1e-3
     )
+
+
+def test_streaming_sharded_matches_single(setup):
+    """Streaming serving composes with the device mesh: params sharded over
+    (data, fsdp, model) produce the same rollout (tensor-parallel serving —
+    the LLaMA-7B-on-v5e-8 shape, scaled down)."""
+    from fluid_llm_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+
+    cfg, ds, model, batch = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    params = model.init(jax.random.PRNGKey(0))
+    states, _, _, bc_mask, pos_ids = batch
+    n_steps = 4
+
+    ref_states, ref_diffs = jax.jit(
+        lambda p, s: generate_streaming(model, p, s, bc_mask, pos_ids, n_steps)
+    )(params, states[:, :1])
+
+    mesh = make_mesh(cfg.parallel.__class__(data_axis=2, fsdp_axis=1, model_axis=4))
+    sp = shard_params(params, mesh, cfg.parallel.__class__(fsdp_axis=1, model_axis=4))
+    sb = shard_batch(batch, mesh)
+    got_states, got_diffs = jax.jit(
+        lambda p, s: generate_streaming(model, p, s, sb[3], sb[4], n_steps)
+    )(sp, sb[0][:, :1])
+
+    np.testing.assert_allclose(
+        np.asarray(got_states), np.asarray(ref_states), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_streaming_with_nf4_quantized_backbone(setup):
+    """Streaming decode reads quantized weight storage through the same
+    ``materialize_w`` path — packed nf4 backbone serves without changes."""
+    from fluid_llm_tpu.ops.quant import quantize_backbone
+
+    cfg, ds, model, batch = setup
+    params = model.init(jax.random.PRNGKey(0))
+    states, _, _, bc_mask, pos_ids = batch
+    n_steps = 3
+
+    ref, _ = jax.jit(
+        lambda p, s: generate_streaming(model, p, s, bc_mask, pos_ids, n_steps)
+    )(params, states[:, :1])
+
+    qparams = dict(params, backbone=quantize_backbone(params["backbone"], mode="nf4"))
+    got, _ = jax.jit(
+        lambda p, s: generate_streaming(model, p, s, bc_mask, pos_ids, n_steps)
+    )(qparams, states[:, :1])
+
+    assert np.isfinite(np.asarray(got)).all()
+    # nf4 is lossy; demand closeness, not equality
+    err = np.abs(np.asarray(got) - np.asarray(ref)).max()
+    assert err < 0.5, err
 
 
 def test_streaming_rejects_learned_positions():
