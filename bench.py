@@ -133,11 +133,13 @@ def bench_streaming():
         flash_attention=True,
         pos_embedding_params={"pos_embedding_type": "rope_abs",
                               "input_emb_layer_dropout": 0.0},
+        absolute_time_ids=True,
     )
     if os.environ.get("FLUID_BENCH_DECODER"):  # attribution experiments
         cfg.decoder_params.type = os.environ["FLUID_BENCH_DECODER"]
     ds = SyntheticCylinderDataset(
-        n_trajectories=1, resolution=238, seq_len=SEQ_LEN, mode="test", max_steps=600
+        n_trajectories=1, resolution=238, seq_len=SEQ_LEN, mode="test",
+        max_steps=600, absolute_time=True,
     )
     model = FluidLLM.build(cfg, ds.ds_props())
     batch = next(make_batches(ds, 1, shuffle=False))

@@ -194,6 +194,26 @@ def _hessian_map(subV, ords_slots):
     return hess
 
 
+def _unit_dof_ordinates(V):
+    """Ordinates of the 9 unit DOF vectors for every triangle: (ntri, 9, 3, 10).
+
+    DOF j = (node, component): component 0 is the nodal value, 1/2 the nodal
+    x/y gradient (scaled coords).  Shared by the min-E energy assembly and
+    the per-pixel weight precompute (``get_cubic_mesh_interpolation``)."""
+    ntri = V.shape[0]
+    unit_ords = np.empty((ntri, 9, 3, 10))
+    for j in range(9):
+        node, comp = divmod(j, 3)
+        f = np.zeros((ntri, 3))
+        g = np.zeros((ntri, 3, 2))
+        if comp == 0:
+            f[:, node] = 1.0
+        else:
+            g[:, node, comp - 1] = 1.0
+        unit_ords[:, j] = _construct_ordinates(V, f, g)
+    return unit_ords
+
+
 def _jacobi_pcg(rows, cols, vals, b, x0, tol=1e-10, maxiter=1000):
     """Jacobi-preconditioned CG on a COO matrix (duplicates summed)."""
     n = b.shape[0]
@@ -230,6 +250,20 @@ class CubicTriInterpolator:
     """
 
     def __init__(self, pos, faces, z, kind="min_E", dz=None):
+        self._setup(pos, faces, z)
+        g_nodes = self._estimate_gradients(kind, dz)  # (N, 2) scaled coords
+        self.ords = _construct_ordinates(self.V, self.z[self.faces], g_nodes[self.faces])
+
+    @classmethod
+    def _bare(cls, pos, faces, z):
+        """Geometry + values only — for callers that need the gradient
+        estimators without building interpolation ordinates
+        (``estimate_gradients``)."""
+        self = cls.__new__(cls)
+        self._setup(pos, faces, z)
+        return self
+
+    def _setup(self, pos, faces, z):
         pos = np.asarray(pos, np.float64)
         self.faces = np.asarray(faces, np.int64)
         self.unit_x = float(np.ptp(pos[:, 0]))
@@ -237,9 +271,6 @@ class CubicTriInterpolator:
         self.pts = np.column_stack([pos[:, 0] / self.unit_x, pos[:, 1] / self.unit_y])
         self.V = self.pts[self.faces]  # (ntri, 3, 2) scaled
         self.z = np.asarray(z, np.float64)
-
-        g_nodes = self._estimate_gradients(kind, dz)  # (N, 2) scaled coords
-        self.ords = _construct_ordinates(self.V, self.z[self.faces], g_nodes[self.faces])
 
     # -- gradient estimation -------------------------------------------------
 
@@ -281,16 +312,7 @@ class CubicTriInterpolator:
         n_nodes = self.pts.shape[0]
 
         # element DOF -> Hessian-at-quadrature map, via unit-DOF ordinates
-        unit_ords = np.empty((ntri, 9, 3, 10))
-        for j in range(9):
-            node, comp = divmod(j, 3)
-            f = np.zeros((ntri, 3))
-            g = np.zeros((ntri, 3, 2))
-            if comp == 0:
-                f[:, node] = 1.0
-            else:
-                g[:, node, comp - 1] = 1.0
-            unit_ords[:, j] = _construct_ordinates(self.V, f, g)
+        unit_ords = _unit_dof_ordinates(self.V)
 
         area = 0.5 * np.abs(np.cross(self.V[:, 1] - self.V[:, 0], self.V[:, 2] - self.V[:, 0]))
         wq = area / 9.0  # subtri area / 3 quadrature points
@@ -379,9 +401,9 @@ class CubicMeshInterp:
     """
 
     vert_idx: np.ndarray  # (H, W, 3) int32
-    wf: np.ndarray  # (H, W, 3) f32 — weights of nodal values
-    wgx: np.ndarray  # (H, W, 3) f32 — weights of nodal d/dx
-    wgy: np.ndarray  # (H, W, 3) f32 — weights of nodal d/dy
+    wf: np.ndarray  # (H, W, 3) f64 — weights of nodal values
+    wgx: np.ndarray  # (H, W, 3) f64 — weights of nodal d/dx
+    wgy: np.ndarray  # (H, W, 3) f64 — weights of nodal d/dy
     mask: np.ndarray  # (H, W) bool, True outside the mesh
 
 
@@ -401,17 +423,7 @@ def get_cubic_mesh_interpolation(pos, faces, grid_x, grid_y) -> CubicMeshInterp:
     tri = tri_index.ravel()[inside].astype(np.int64)
 
     # ordinates of the 9 unit DOF vectors, for every triangle
-    ntri = V.shape[0]
-    unit_ords = np.empty((ntri, 9, 3, 10))
-    for j in range(9):
-        node, comp = divmod(j, 3)
-        f = np.zeros((ntri, 3))
-        g = np.zeros((ntri, 3, 2))
-        if comp == 0:
-            f[:, node] = 1.0
-        else:
-            g[:, node, comp - 1] = 1.0
-        unit_ords[:, j] = _construct_ordinates(V, f, g)
+    unit_ords = _unit_dof_ordinates(V)
 
     # pixel -> (subtri, basis)
     xs = np.ravel(grid_x)[inside] / unit_x
@@ -427,9 +439,11 @@ def get_cubic_mesh_interpolation(pos, faces, grid_x, grid_y) -> CubicMeshInterp:
 
     H, W = mask.shape
     vert_idx = np.zeros((H * W, 3), np.int32)
-    wf = np.zeros((H * W, 3), np.float32)
-    wgx = np.zeros((H * W, 3), np.float32)
-    wgy = np.zeros((H * W, 3), np.float32)
+    # f64 weights: the host evaluators below consume them at full
+    # precision; the jittable device path casts at the boundary
+    wf = np.zeros((H * W, 3), np.float64)
+    wgx = np.zeros((H * W, 3), np.float64)
+    wgy = np.zeros((H * W, 3), np.float64)
     vert_idx[inside] = faces[tri].astype(np.int32)
     wf[inside] = w9[:, 0::3]
     # fold the coordinate scaling into the gradient weights: construction
@@ -444,14 +458,7 @@ def get_cubic_mesh_interpolation(pos, faces, grid_x, grid_y) -> CubicMeshInterp:
 
 def estimate_gradients(pos, faces, z, kind="min_E", dz=None):
     """Nodal (d/dx, d/dy) in raw units, per the chosen estimator."""
-    interp = CubicTriInterpolator.__new__(CubicTriInterpolator)
-    pos = np.asarray(pos, np.float64)
-    interp.faces = np.asarray(faces, np.int64)
-    interp.unit_x = float(np.ptp(pos[:, 0]))
-    interp.unit_y = float(np.ptp(pos[:, 1]))
-    interp.pts = np.column_stack([pos[:, 0] / interp.unit_x, pos[:, 1] / interp.unit_y])
-    interp.V = interp.pts[interp.faces]
-    interp.z = np.asarray(z, np.float64)
+    interp = CubicTriInterpolator._bare(pos, faces, z)
     g = interp._estimate_gradients(kind, dz)
     return g[:, 0] / interp.unit_x, g[:, 1] / interp.unit_y
 
@@ -472,49 +479,45 @@ def resample_to_grid_cubic(values, gx, gy, vert_idx, wf, wgx, wgy, mask):
     return jnp.where(mask, 0.0, out)
 
 
+def _host_cubic_eval(interp: CubicMeshInterp, val, gx, gy):
+    """f64 host evaluation with the precomputed pixel weights."""
+    out = (
+        np.einsum("hwk,hwk->hw", val[interp.vert_idx], interp.wf)
+        + np.einsum("hwk,hwk->hw", gx[interp.vert_idx], interp.wgx)
+        + np.einsum("hwk,hwk->hw", gy[interp.vert_idx], interp.wgy)
+    )
+    return np.where(interp.mask, 0.0, out).astype(np.float32)
+
+
 def to_grid_cubic(val, pos, faces, grid_x, grid_y, kind="min_E", dz=None):
     """Cubic-interpolate a nodal field onto the grid; masked pixels -> 0.
 
     Drop-in for the previous matplotlib-delegating implementation (same
     signature/semantics as the linear ``to_grid``): returns (data, mask).
+    Evaluation goes through the same precomputed per-pixel weights as the
+    device path (``resample_to_grid_cubic``), so there is exactly ONE
+    evaluation pipeline — the interpolant is linear in the 9 DOFs, making
+    the weight formulation identical to direct HCT evaluation.
     """
-    from fluid_llm_tpu.core.triangulation import locate_triangles
-
-    pos = np.asarray(pos, np.float64)
-    faces = np.asarray(faces, np.int64)
-    tri_index = locate_triangles(pos, faces, grid_x, grid_y)
-    mask = tri_index == -1
-    interp = CubicTriInterpolator(pos, faces, np.asarray(val, np.float64), kind, dz)
-    inside = ~mask.ravel()
-    data = np.zeros(mask.size, np.float32)
-    data[inside] = interp.evaluate(
-        tri_index.ravel()[inside], np.ravel(grid_x)[inside], np.ravel(grid_y)[inside]
-    ).astype(np.float32)
-    return data.reshape(mask.shape), mask
+    interp = get_cubic_mesh_interpolation(pos, faces, grid_x, grid_y)
+    val = np.asarray(val, np.float64)
+    gx, gy = estimate_gradients(pos, faces, val, kind, dz)
+    return _host_cubic_eval(interp, val, gx, gy), interp.mask
 
 
 def resample_sequence_cubic(node_states, pos, faces, grid_x, grid_y, kind="min_E"):
     """(T, C, N_nodes) -> (T, C, H, W) cubic-resampled window.
 
-    Point location runs once; each field re-estimates gradients (per-field,
-    like the reference) and reuses the located pixels.
+    The pixel weights are built ONCE; each field estimates its nodal
+    gradients (per-field, like the reference) and evaluation is a
+    gather + 9-term FMA per pixel.
     """
-    from fluid_llm_tpu.core.triangulation import locate_triangles
-
-    pos = np.asarray(pos, np.float64)
-    faces = np.asarray(faces, np.int64)
-    tri_index = locate_triangles(pos, faces, grid_x, grid_y)
-    mask = tri_index == -1
-    inside = ~mask.ravel()
-    tri_in = tri_index.ravel()[inside]
-    gx_in, gy_in = np.ravel(grid_x)[inside], np.ravel(grid_y)[inside]
-
+    interp = get_cubic_mesh_interpolation(pos, faces, grid_x, grid_y)
     T, C = node_states.shape[:2]
-    out = np.zeros((T, C) + mask.shape, np.float32)
+    out = np.zeros((T, C) + interp.mask.shape, np.float32)
     for t in range(T):
         for c in range(C):
-            interp = CubicTriInterpolator(pos, faces, node_states[t, c], kind)
-            flat = np.zeros(mask.size, np.float32)
-            flat[inside] = interp.evaluate(tri_in, gx_in, gy_in).astype(np.float32)
-            out[t, c] = flat.reshape(mask.shape)
-    return out, mask
+            val = np.asarray(node_states[t, c], np.float64)
+            gx, gy = estimate_gradients(pos, faces, val, kind)
+            out[t, c] = _host_cubic_eval(interp, val, gx, gy)
+    return out, interp.mask

@@ -99,20 +99,23 @@ def window_to_patches(
 
 
 def position_ids(
-    seq_len_m1: int, nx_patch: int, ny_patch: int, t_base: int = 0
+    seq_len_m1: int, nx_patch: int, ny_patch: int, t_base: int = 0, t_step: int = 1
 ) -> np.ndarray:
     """``simple_dataloader.py:218-226`` — reproduced exactly, including the
     quirky x-fastest labelling that doesn't match the y-fastest patch order
     (harmless: the embeddings are learned per index).
 
-    ``t_base``: offset added to the time axis — 0 reproduces the reference's
-    window-relative ids; the absolute-time variant (``Config.absolute_time_ids``,
-    for streaming-served rope models) passes the window's trajectory step."""
+    ``t_base``/``t_step``: (0, 1) reproduces the reference's window-relative
+    ids; the absolute-time variant (``Config.absolute_time_ids``, for
+    streaming-served rope models) passes the window's trajectory step and
+    ``seq_interval`` so every frame is labelled with its RAW trajectory step
+    — the same physical state always gets the same t, whatever window or
+    stride sampled it."""
     n_patch = nx_patch * ny_patch
     arange = np.arange(seq_len_m1 * n_patch)
     x_idx = arange % nx_patch
     y_idx = (arange // nx_patch) % ny_patch
-    t_idx = arange // n_patch + t_base
+    t_idx = (arange // n_patch) * t_step + t_base
     return np.stack([x_idx, y_idx, t_idx], axis=1).reshape(seq_len_m1, n_patch, 3).astype(np.int32)
 
 
@@ -242,6 +245,7 @@ class PatchDataset:
         pos = position_ids(
             self.seq_len - 1, nx, ny,
             t_base=step_num if self.absolute_time else 0,
+            t_step=self.seq_interval if self.absolute_time else 1,
         )
         return input_states, next_state, diffs, bc_mask, pos
 

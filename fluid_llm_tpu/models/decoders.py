@@ -83,7 +83,10 @@ def patch_decoder_apply(
     preds = grid_gat_stack_apply(
         params["gnn"], grid, cfg.gnn_hid_dim, 3, cfg.gnn_heads,
         dropout=cfg.dropout if train else 0.0, rng=rng,
-        # the fused Pallas kernel is inference-default (see ops/grid_gnn.py)
-        allow_fused=(not train) or os.environ.get("FLUID_GNN_FUSED_BWD") == "1",
+        # channels-first fused fwd+bwd kernels are DEFAULT-ON for training
+        # too (FLUID_GNN_FUSED_BWD=0 opts out — same gate as
+        # ops/grid_gnn_pallas.py); dispatch still requires >=16 frames and
+        # a TPU backend (``grid_gnn_pallas.supported``)
+        allow_fused=(not train) or os.environ.get("FLUID_GNN_FUSED_BWD", "1") != "0",
     )
     return preds

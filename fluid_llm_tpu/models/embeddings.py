@@ -69,6 +69,28 @@ def pos_embed_apply(params: Params, x: jnp.ndarray, position_ids: jnp.ndarray) -
 # -- additive 3-axis sin/cos "rotary" embedding -----------------------------
 
 
+def _sincos_ladder3(x: jnp.ndarray, pos_scaled: jnp.ndarray) -> jnp.ndarray:
+    """Add the reference's 3-axis sinusoid ladder to ``x``.
+
+    pos_scaled: (bs, L, 3) pre-scaled positions (callers differ ONLY in the
+    scaling).  Per axis i the reference writes sin/cos blockwise-interleaved
+    into the i-th third of the feature dim, truncated to ``d // 3``
+    (``rotary_3d_positional_embeddings.py:29-48``).
+    """
+    bs, seq, n, d = x.shape
+    L = seq * n
+    third = d // 3
+    dim_t = jnp.power(10000.0, 2.0 * jnp.arange(third, dtype=jnp.float32) / d)
+
+    pe = jnp.zeros((bs, L, d), jnp.float32)
+    for i in range(3):
+        pos_i = pos_scaled[:, :, i][:, :, None] / dim_t  # (bs, L, third)
+        # stack (sin, cos) on a new axis-2 then flatten: interleaves blockwise
+        pe_i = jnp.stack([jnp.sin(pos_i), jnp.cos(pos_i)], axis=2).reshape(bs, L, -1)
+        pe = pe.at[:, :, i * third:(i + 1) * third].set(pe_i[:, :, :third])
+    return x + pe.reshape(bs, seq, n, d).astype(x.dtype)
+
+
 def rotary3d_apply(x: jnp.ndarray, position_ids: jnp.ndarray, hidden_dim: int) -> jnp.ndarray:
     """``rotary_3d_positional_embeddings.py:6-61`` as pure recomputation.
 
@@ -80,18 +102,7 @@ def rotary3d_apply(x: jnp.ndarray, position_ids: jnp.ndarray, hidden_dim: int) -
     pos = position_ids.reshape(bs, seq * n, 3).astype(jnp.float32)
     max_vals = jnp.max(pos, axis=1, keepdims=True)
     safe_max = jnp.where(max_vals > 0, max_vals, 1.0)
-    pos = pos / safe_max * (2 * math.pi)
-
-    third = d // 3
-    dim_t = jnp.power(10000.0, 2.0 * jnp.arange(third, dtype=jnp.float32) / d)
-
-    pe = jnp.zeros((bs, seq * n, d), jnp.float32)
-    for i in range(3):
-        pos_i = pos[:, :, i][:, :, None] / dim_t  # (bs, L, third)
-        # stack (sin, cos) on a new axis-2 then flatten: interleaves blockwise
-        pe_i = jnp.stack([jnp.sin(pos_i), jnp.cos(pos_i)], axis=2).reshape(bs, seq * n, -1)
-        pe = pe.at[:, :, i * third:(i + 1) * third].set(pe_i[:, :, :third])
-    return x + pe.reshape(bs, seq, n, d).astype(x.dtype)
+    return _sincos_ladder3(x, pos / safe_max * (2 * math.pi))
 
 
 def rotary3d_abs_apply(
@@ -103,28 +114,17 @@ def rotary3d_abs_apply(
     axis's encoding therefore changes as the rollout window slides, which
     invalidates any KV cache.  Here the spatial axes are normalised by the
     STATIC patch-grid extent (``spatial_scale``) and time is consumed raw
-    through the standard sinusoidal wavelength ladder, so a token's
-    embedding is a pure function of its absolute (x, y, t) — frozen once
-    computed.  Opt-in (``pos_embedding_type: rope_abs``); not a reference
-    mode.  x: (bs, seq, N_patch, d); position_ids: (bs, seq, N_patch, 3).
+    through the standard sinusoidal wavelength ladder (unbounded angles are
+    well-defined; the ladder resolves both short and long lags), so a
+    token's embedding is a pure function of its absolute (x, y, t) — frozen
+    once computed.  Opt-in (``pos_embedding_type: rope_abs``); not a
+    reference mode.  x: (bs, seq, N_patch, d); position_ids: (..., 3).
     """
     bs, seq, n, d = x.shape
     pos = position_ids.reshape(bs, seq * n, 3).astype(jnp.float32)
     sx, sy = spatial_scale
     scale = jnp.asarray([max(sx - 1, 1), max(sy - 1, 1), 1.0], jnp.float32)
-    pos = pos / scale * (2 * math.pi)
-    # time stays unnormalised: angles t * 2pi / dim_t are unbounded but
-    # well-defined; the wavelength ladder resolves both short and long lags
-
-    third = d // 3
-    dim_t = jnp.power(10000.0, 2.0 * jnp.arange(third, dtype=jnp.float32) / d)
-
-    pe = jnp.zeros((bs, seq * n, d), jnp.float32)
-    for i in range(3):
-        pos_i = pos[:, :, i][:, :, None] / dim_t
-        pe_i = jnp.stack([jnp.sin(pos_i), jnp.cos(pos_i)], axis=2).reshape(bs, seq * n, -1)
-        pe = pe.at[:, :, i * third:(i + 1) * third].set(pe_i[:, :, :third])
-    return x + pe.reshape(bs, seq, n, d).astype(x.dtype)
+    return _sincos_ladder3(x, pos / scale * (2 * math.pi))
 
 
 # -- combined input embeddings (``input_embeddings.py:9-52``) ----------------

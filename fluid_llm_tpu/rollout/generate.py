@@ -84,10 +84,12 @@ def generate(
         start = W - k
         frame_valid = jnp.broadcast_to(slot >= start, (bs, W))
         if abs_t:
-            # valid slot j holds trajectory step t0 + (init_len+i) - W + j
-            t_ids = jnp.maximum(t0[:, None] + init_len + i - W + slot, 0)
+            # valid slot j holds RAW trajectory step t0 + ((init_len+i) - W
+            # + j) * seq_interval — frames are seq_interval raw steps apart
+            ival = model.cfg.seq_interval
+            t_ids = jnp.maximum(t0[:, None] + (init_len + i - W + slot) * ival, 0)
             t_ids = t_ids.astype(position_ids.dtype)
-            dup_t = (t0 + jnp.maximum(init_len + i - W, 0)).astype(position_ids.dtype)
+            dup_t = (t0 + jnp.maximum(init_len + i - W, 0) * ival).astype(position_ids.dtype)
             dpos = jnp.concatenate(
                 [spatial[:, 0],
                  jnp.broadcast_to(dup_t[:, None, None], (bs, n_patch, 1))],

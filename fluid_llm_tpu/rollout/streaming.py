@@ -53,6 +53,13 @@ def _check_streaming_compat(model: FluidLLM) -> None:
             "pos_embedding_params.pos_embedding_type: rope_abs (the 'pos' "
             "table is window-re-zeroed and 'rope' normalises by batch max)"
         )
+    if not model.cfg.absolute_time_ids:
+        raise ValueError(
+            "streaming rollout needs absolute_time_ids: true — a model "
+            "trained on window-relative t in 0..seq_len-1 would see the "
+            "monotonically growing serving t far outside its training "
+            "distribution (silent accuracy loss, not an error)"
+        )
 
 
 def generate_streaming(
@@ -65,14 +72,26 @@ def generate_streaming(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Same contract as ``rollout.generate.generate`` (patch tensors in/out).
 
-    ``params`` should be ``prepare_inference_params`` output (merged LoRA);
-    raw params also work (the backbone path uses plain linears).
+    ``params`` should be ``prepare_inference_params`` output (merged LoRA +
+    fused qkv).  Raw adapter-carrying params are merged here on the fly —
+    ``apply_streaming`` uses plain linears, so unmerged adapters would
+    otherwise be silently dropped (e.g. the mesh path of ``inference.py``,
+    which skips the host-side transform).
     """
     _check_streaming_compat(model)
+    if "lora" in params:
+        params = model.prepare_inference_params(params)
     cfg = model.cfg
     bcfg = model.backbone_cfg
     bs, init_len, n_patch = init_states.shape[:3]
     R = model.max_ctx_len  # ring capacity in frames
+    if init_len > R:
+        # the prefill writes context frames at unwrapped ring slots; a
+        # context longer than the ring has no meaningful cache state anyway
+        raise ValueError(
+            f"streaming context ({init_len} frames) exceeds the ring "
+            f"capacity max_ctx_len={R}; pass at most {R} context states"
+        )
     n_sink = (1 if cfg.use_bos_token else 0) + (n_patch if cfg.see_init_state else 0)
     capacity = n_sink + R * n_patch
     cache = bb.init_streaming_cache(bcfg, bs, capacity)
@@ -82,11 +101,12 @@ def generate_streaming(
     # carry the trajectory base step — honour it so serving matches training.
     spatial = position_ids[:, :1, :, :2]  # (bs, 1, n_patch, 2)
     t0 = position_ids[:, 0, 0, 2].astype(position_ids.dtype)  # (bs,)
+    ival = cfg.seq_interval  # frames are seq_interval RAW trajectory steps apart
 
     def frame_pos_ids(t):
         # ``t`` is frame index relative to the window base (traced or static)
         tt = jnp.broadcast_to(
-            (t0 + t)[:, None, None, None], (bs, 1, n_patch, 1)
+            (t0 + t * ival)[:, None, None, None], (bs, 1, n_patch, 1)
         ).astype(position_ids.dtype)
         return jnp.concatenate([spatial, tt], axis=-1)
 

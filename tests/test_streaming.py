@@ -29,16 +29,17 @@ from fluid_llm_tpu.rollout.streaming import generate_streaming
 TINY_LLAMA = dict(n_layers=2, d_model=64, n_heads=4, d_ff=128, max_pos=4096, dropout=0.0)
 
 
-def llama_setup(seq_len=5, ds_kw=None, **cfg_kw):
+def llama_setup(seq_len=5, ds_kw=None, use_lora=False, **cfg_kw):
     cfg = Config(
         llm_backbone="fluid/llama-125m",
         half_precision=False,
-        use_lora=False,
+        use_lora=use_lora,
         batch_size=2,
         autoreg_seq_len=seq_len,
         seq_len=seq_len,
         resolution=64,
         flash_attention=False,
+        absolute_time_ids=True,
         pos_embedding_params={"pos_embedding_type": "rope_abs",
                               "input_emb_layer_dropout": 0.0},
         decoder_params={"type": "MLP", "num_layers": 2, "hidden_dim": 32,
@@ -49,7 +50,7 @@ def llama_setup(seq_len=5, ds_kw=None, **cfg_kw):
     )
     ds = SyntheticCylinderDataset(
         n_trajectories=2, resolution=64, seq_len=seq_len, mode="valid",
-        **(ds_kw or {}),
+        **{"absolute_time": True, **(ds_kw or {})},
     )
     model = FluidLLM.build(cfg, ds.ds_props(), **TINY_LLAMA)
     batch = next(make_batches(ds, 2, shuffle=False))
@@ -154,8 +155,10 @@ def test_generate_streaming_matches_dense_reencode_oracle(setup):
         lambda p, s: generate_streaming(model, p, s, bc_mask, pos_ids, n_steps)
     )(params, init)
 
-    # oracle loop
+    # oracle loop — t ids are ABSOLUTE: the dataset's base step + frame index
     spatial = pos_ids[:, :1, :, :2]
+    t0 = int(pos_ids[0, 0, 0, 2])
+    assert t0 == 100  # valid/test windows start at the fixed step 100
 
     def emb(state, t):
         tt = jnp.full((bs, 1, n_patch, 1), t, pos_ids.dtype)
@@ -166,12 +169,12 @@ def test_generate_streaming_matches_dense_reencode_oracle(setup):
     bos = jnp.broadcast_to(
         params["bos"].astype(bcfg.dtype)[None, None, :], (bs, 1, bcfg.embed_dim)
     )
-    toks = [bos, emb(init[:, 0], 0)]  # sinks: bos + pinned init dup
+    toks = [bos, emb(init[:, 0], t0)]  # sinks: bos + pinned init dup
     cur = init[:, 0]
     oracle_states, oracle_diffs = [], []
     for i in range(n_steps):
         f = i  # frame index being appended (init_len=1)
-        toks.append(emb(cur, f))
+        toks.append(emb(cur, t0 + f))
         xfull = jnp.concatenate(toks, axis=1)
         pos_b = jnp.broadcast_to(
             jnp.arange(xfull.shape[1], dtype=jnp.int32)[None], xfull.shape[:2]
@@ -211,9 +214,7 @@ def test_absolute_time_exact_rollout_matches_oracle():
     """``absolute_time_ids``: dataset t ids carry the trajectory step, and the
     exact (re-encoding) rollout assigns each window frame its absolute t —
     pinned against a python deque-loop oracle, sliding included."""
-    cfg, ds, model, batch = llama_setup(
-        absolute_time_ids=True, ds_kw={"absolute_time": True}
-    )
+    cfg, ds, model, batch = llama_setup()  # absolute time is the default here
     from fluid_llm_tpu.rollout.generate import generate
 
     params = model.init(jax.random.PRNGKey(0))
@@ -311,6 +312,41 @@ def test_streaming_with_nf4_quantized_backbone(setup):
     # nf4 is lossy; demand closeness, not equality
     err = np.abs(np.asarray(got) - np.asarray(ref)).max()
     assert err < 0.5, err
+
+
+def test_streaming_merges_adapters_on_the_fly():
+    """Raw LoRA-carrying params (the mesh path skips the host-side merge)
+    must serve IDENTICALLY to explicitly merged params — not silently drop
+    the adapters."""
+    cfg, ds, model, batch = llama_setup(use_lora=True)
+    raw = model.init(jax.random.PRNGKey(0))
+    assert "lora" in raw
+    states, _, _, bc_mask, pos_ids = batch
+    n_steps = 2
+
+    run = jax.jit(lambda p, s: generate_streaming(model, p, s, bc_mask, pos_ids, n_steps))
+    got_raw, _ = run(raw, states[:, :1])
+    got_merged, _ = run(model.prepare_inference_params(raw), states[:, :1])
+    np.testing.assert_allclose(
+        np.asarray(got_raw), np.asarray(got_merged), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_streaming_rejects_relative_time_and_long_context(setup):
+    cfg, ds, model, batch = setup
+    states, _, _, bc_mask, pos_ids = batch
+    params = model.prepare_inference_params(model.init(jax.random.PRNGKey(0)))
+
+    rel_model = model.__class__(
+        cfg=cfg.replace(absolute_time_ids=False), ds_props=model.ds_props,
+        backbone_cfg=model.backbone_cfg,
+    )
+    with pytest.raises(ValueError, match="absolute_time_ids"):
+        generate_streaming(rel_model, params, states[:, :1], bc_mask, pos_ids, 1)
+
+    too_long = jnp.repeat(states, 3, axis=1)[:, : model.max_ctx_len + 1]
+    with pytest.raises(ValueError, match="ring capacity"):
+        generate_streaming(model, params, too_long, bc_mask, pos_ids, 1)
 
 
 def test_streaming_rejects_learned_positions():
