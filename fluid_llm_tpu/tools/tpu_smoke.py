@@ -114,14 +114,68 @@ def check_grid_gnn(frames: int = 16, fused_bwd: bool | None = None) -> None:
         print("grid-gnn fused fwd parity OK (bwd: XLA recompute default)")
 
 
+def check_streaming(n_steps: int = 6) -> None:
+    """Streaming KV-cache rollout vs the exact rollout on hardware.
+
+    Not a numerical-equality check (the two have different attention-
+    truncation semantics; CPU oracles pin exactness in
+    ``tests/test_streaming.py``) — this validates that the streaming scan
+    (cache DUS, position-compare masking, rope at write time) compiles and
+    runs on the real chip at the production patch geometry, with finite,
+    near-exact-path outputs while the window isn't sliding.
+    """
+    import jax
+
+    from fluid_llm_tpu.config import Config
+    from fluid_llm_tpu.data.pipeline import make_batches
+    from fluid_llm_tpu.data.synthetic import SyntheticCylinderDataset
+    from fluid_llm_tpu.models.fluid_llm import FluidLLM
+    from fluid_llm_tpu.rollout.streaming import generate_streaming
+
+    cfg = Config(
+        llm_backbone="fluid/llama-125m",
+        llm_layers=2,
+        half_precision=True,
+        use_lora=False,
+        batch_size=1,
+        autoreg_seq_len=10,
+        seq_len=10,
+        resolution=238,
+        flash_attention=False,
+        absolute_time_ids=True,
+        pos_embedding_params={"pos_embedding_type": "rope_abs",
+                              "input_emb_layer_dropout": 0.0},
+    )
+    ds = SyntheticCylinderDataset(
+        n_trajectories=1, resolution=238, seq_len=10, mode="test", absolute_time=True
+    )
+    model = FluidLLM.build(cfg, ds.ds_props())
+    batch = next(make_batches(ds, 1, shuffle=False))
+    states, _, _, bc_mask, pos = batch
+    params = model.prepare_inference_params(model.init(jax.random.PRNGKey(0)))
+
+    st, df = jax.jit(
+        lambda p, s: generate_streaming(model, p, s, bc_mask, pos, n_steps)
+    )(params, states[:, :1])
+    st, df = np.asarray(st, np.float32), np.asarray(df, np.float32)
+    assert np.isfinite(st).all() and np.isfinite(df).all()
+    assert np.abs(df).max() > 0, "streaming rollout produced all-zero diffs"
+    print(f"streaming rollout OK on {jax.default_backend()} ({n_steps} steps)")
+
+
 def main() -> int:
     import jax
 
     if jax.default_backend() not in ("tpu", "axon"):
         # still meaningful (compiled Mosaic interpret is CPU), but say so
         print(f"WARNING: running on {jax.default_backend()}, not TPU", file=sys.stderr)
-    check_flash(2048)
-    check_grid_gnn(16)
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    if only in (None, "flash"):
+        check_flash(2048)
+    if only in (None, "grid_gnn"):
+        check_grid_gnn(16)
+    if only in (None, "streaming"):
+        check_streaming()
     print("TPU kernel smoke: ALL OK")
     return 0
 
