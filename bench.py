@@ -121,12 +121,13 @@ def bench_streaming():
 
     PRED_STEPS = int(os.environ.get("BENCH_ROLLOUT_STEPS", 251))
     SEQ_LEN = 10
+    BS = int(os.environ.get("FLUID_BENCH_BS", 1))  # batched-serving experiments
 
     cfg = Config(
         llm_backbone="fluid/llama-125m",
         half_precision=True,
         use_lora=False,
-        batch_size=1,
+        batch_size=BS,
         autoreg_seq_len=SEQ_LEN,
         seq_len=SEQ_LEN,
         resolution=238,
@@ -138,11 +139,11 @@ def bench_streaming():
     if os.environ.get("FLUID_BENCH_DECODER"):  # attribution experiments
         cfg.decoder_params.type = os.environ["FLUID_BENCH_DECODER"]
     ds = SyntheticCylinderDataset(
-        n_trajectories=1, resolution=238, seq_len=SEQ_LEN, mode="test",
+        n_trajectories=BS, resolution=238, seq_len=SEQ_LEN, mode="test",
         max_steps=600, absolute_time=True,
     )
     model = FluidLLM.build(cfg, ds.ds_props())
-    batch = next(make_batches(ds, 1, shuffle=False))
+    batch = next(make_batches(ds, BS, shuffle=False))
     states, _, _, bc_mask, pos = batch
     params = model.prepare_inference_params(model.init(jax.random.PRNGKey(0)))
 
@@ -161,12 +162,16 @@ def bench_streaming():
         st, _ = roll(params, states[:, :1], bc_mask, pos)
         _sync(st)
     dt = (time.time() - t0) / n_rep
-    print(json.dumps({
+    rec = {
         "metric": "streaming_rollout_steps_per_sec_per_chip",
         "value": round(PRED_STEPS / dt, 2),
         "unit": "steps/s",
         "vs_baseline": 1.0,
-    }))
+    }
+    if BS > 1:
+        rec["batch_size"] = BS
+        rec["trajectory_steps_per_sec"] = round(BS * PRED_STEPS / dt, 2)
+    print(json.dumps(rec))
 
 
 def main():
