@@ -22,6 +22,7 @@ import sys
 import time
 
 V5E_PEAK_BF16 = 197e12  # TPU v5e peak bf16 FLOP/s per chip
+V5E_HBM_BW = 819e9  # TPU v5e HBM bandwidth, bytes/s per chip
 
 
 def _sync(x):
@@ -75,10 +76,13 @@ def bench_train():
     # backbone-only "model FLOPs" figure is derived below
     lowered = step.lower(state.trainable, state.frozen, state.opt_state, batch, rng)
     compiled = lowered.compile()
+    flops = bytes_acc = None
     try:
-        flops = float(compiled.cost_analysis()["flops"])
+        ca = compiled.cost_analysis()
+        flops = float(ca["flops"])
+        bytes_acc = float(ca.get("bytes accessed", 0.0)) or None
     except Exception:
-        flops = None
+        pass
 
     t0 = time.time()
     tr, opt, m = step(state.trainable, state.frozen, state.opt_state, batch, rng)
@@ -103,6 +107,19 @@ def bench_train():
         "compiled_tflop_per_step": round(flops / 1e12, 3) if flops else None,
         "hw_flops_utilisation_pct": round(100 * mfu, 1) if mfu is not None else None,
     }
+    # roofline: the compiled program's own FLOP count and HBM bytes against
+    # the v5e peaks — which resource bounds the step, and how close the
+    # measured time is to that bound (VERDICT r2 #1c)
+    if flops and bytes_acc:
+        t_flops = flops / V5E_PEAK_BF16
+        t_bw = bytes_acc / V5E_HBM_BW
+        bound_s = max(t_flops, t_bw)
+        rec.update({
+            "bytes_accessed_gb_per_step": round(bytes_acc / 1e9, 2),
+            "roofline_bound": "bandwidth" if t_bw > t_flops else "flops",
+            "roofline_ms": round(bound_s * 1e3, 2),
+            "x_of_roofline": round(dt / bound_s, 2),
+        })
     print(json.dumps(rec))
 
 
@@ -174,17 +191,38 @@ def bench_streaming():
     print(json.dumps(rec))
 
 
-def main():
+def _setup_cache():
+    """Persistent compilation cache: the 251-step rollout programs are large
+    (minutes cold); warm runs load from cache in seconds."""
     import jax
 
-    # persistent compilation cache: the 251-step rollout program is large
-    # (several minutes cold); warm runs load from cache in seconds
     cache_dir = os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.cache/fluid_llm_tpu_xla"))
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+
+def run_smoke():
+    """On-chip kernel parity, recorded as an artifact every benched round
+    (the bench process already owns the TPU session)."""
+    import contextlib
+
+    try:
+        from fluid_llm_tpu.tools import tpu_smoke
+
+        with contextlib.redirect_stdout(sys.stderr):
+            results = tpu_smoke.run_checks()
+        with open("TPU_SMOKE.json", "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"tpu_smoke: {results}", file=sys.stderr)
+    except Exception as e:  # never block the bench record
+        print(f"tpu_smoke errored: {e}", file=sys.stderr)
+
+
+def main():
+    import jax
 
     from fluid_llm_tpu.config import Config
     from fluid_llm_tpu.data.pipeline import make_batches
@@ -255,11 +293,15 @@ def main():
 
 
 if __name__ == "__main__":
+    _setup_cache()
     if len(sys.argv) > 1 and sys.argv[1] == "train":
         bench_train()
         sys.exit(0)
     if len(sys.argv) > 1 and sys.argv[1] == "streaming":
         bench_streaming()
+        sys.exit(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "smoke":
+        run_smoke()
         sys.exit(0)
     try:
         main()
@@ -272,3 +314,12 @@ if __name__ == "__main__":
             "vs_baseline": 0.0,
         }))
         raise
+    # the serving-mode record and the on-chip kernel-parity artifact ride the
+    # same bench session (VERDICT r2 next-items 2 and 9); failures there must
+    # not invalidate the headline record already printed
+    if os.environ.get("FLUID_BENCH_EXTRAS", "1") != "0":
+        try:
+            bench_streaming()
+        except Exception as e:
+            print(f"streaming bench failed: {e}", file=sys.stderr)
+        run_smoke()

@@ -113,7 +113,31 @@ def main(argv=None):
     parser.add_argument("--config_path", default="configs/training1.yaml")
     parser.add_argument("--save_folder", default=None)
     parser.add_argument("--metrics_jsonl", default=None)
+    # multi-host (DCN) launch — the TPU equivalent of the reference's
+    # ``accelerate launch`` multi-process DDP (``run_training.sh:5``,
+    # ``src/main.py:150-152``).  On TPU pods jax.distributed auto-detects
+    # everything; on other fabrics pass the coordinator explicitly.
+    parser.add_argument("--distributed", action="store_true",
+                        help="call jax.distributed.initialize before device use")
+    parser.add_argument("--coordinator_address", default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args(argv)
+
+    if args.distributed:
+        kw = {}
+        if args.coordinator_address is not None:
+            kw = dict(
+                coordinator_address=args.coordinator_address,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        jax.distributed.initialize(**kw)
+        logger.info(
+            "jax.distributed: process %d/%d, %d local / %d global devices",
+            jax.process_index(), jax.process_count(),
+            jax.local_device_count(), jax.device_count(),
+        )
 
     cfg = Config.from_yaml(args.config_path)
     rng = set_seed(cfg.seed)

@@ -211,6 +211,71 @@ def init_params(key: jax.Array, cfg: BackboneConfig) -> Params:
     return params
 
 
+def cast_matmul_params(params: Params, dtype) -> Params:
+    """Inference-time dtype transform: store each layer's matmul weights in
+    the activation dtype (bf16) so the per-use ``w.astype`` is a no-op.
+
+    Exact for inference — ``_linear`` casts to the activation dtype before
+    every matmul anyway; doing it once at prepare time halves the weight
+    bytes read per step and (with ``stack_layers``) keeps the layer-scan
+    from re-converting a dynamically-sliced f32 buffer every block.  Norm
+    params stay f32 (``_norm`` computes in f32).
+    """
+
+    def cast_group(group):
+        out = {}
+        for name, p in group.items():
+            if isinstance(p, dict) and "w" in p and not isinstance(p["w"], dict):
+                q = dict(p, w=p["w"].astype(dtype))
+                if "b" in q:
+                    q["b"] = q["b"].astype(dtype)
+                out[name] = q
+            else:
+                out[name] = p
+        return out
+
+    layers = []
+    for layer in params["layers"]:
+        layers.append(
+            {
+                k: (cast_group(v) if k in ("attn", "mlp") else v)
+                for k, v in layer.items()
+            }
+        )
+    out = dict(params, layers=layers)
+    for k in ("project_in", "project_out"):
+        if k in out:
+            out[k] = dict(out[k], w=out[k]["w"].astype(dtype))
+    return out
+
+
+def stack_layers(params: Params) -> Params:
+    """Inference-time layout transform: the per-layer param LIST becomes one
+    pytree whose leaves carry a leading ``n_layers`` axis.
+
+    ``apply``/``apply_streaming`` detect the stacked layout and run a
+    ``lax.scan`` over blocks instead of unrolling them in python — the rollout
+    program body shrinks ~n_layers×, which is what cold XLA compiles pay for
+    (the 251-step rollout traces the backbone inside its step scan).  Exact:
+    the per-iteration slice is the same layer pytree the loop indexed.
+    Layers must be homogeneous (same treedef — true per family, after
+    ``pack_qkv_params``, and for uniformly-quantized layers); heterogeneous
+    lists are left unstacked and keep the unrolled path.
+    """
+    layers = params["layers"]
+    if not isinstance(layers, list):
+        return params
+    td0 = jax.tree_util.tree_structure(layers[0])
+    shapes0 = [jnp.shape(l) for l in jax.tree_util.tree_leaves(layers[0])]
+    for layer in layers[1:]:
+        if jax.tree_util.tree_structure(layer) != td0:
+            return params
+        if [jnp.shape(l) for l in jax.tree_util.tree_leaves(layer)] != shapes0:
+            return params
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    return dict(params, layers=stacked)
+
+
 def pack_qkv_params(params: Params) -> Params:
     """Inference-time weight transform: fuse each layer's q/k/v projections
     into one ``(d, d + 2*kv_dim)`` matmul.
@@ -329,6 +394,90 @@ def make_masks(valid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return positions, allowed[:, None, :, :]
 
 
+def _scan_unroll() -> int:
+    """Unroll factor for the layer scans (``FLUID_SCAN_UNROLL``, default 1).
+
+    The scanned-layer loop costs ~20-25 µs/iteration of loop overhead on
+    this platform; unrolling k blocks per iteration divides that by k while
+    keeping the program ~n_layers/k× smaller than the fully unrolled path.
+    """
+    import os
+
+    return max(1, int(os.environ.get("FLUID_SCAN_UNROLL", "1")))
+
+
+def _index_tree(tree, li):
+    """Per-layer slice of small stacked leaves (norm scales etc.)."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, False), tree
+    )
+
+
+def _stacked_linear(h, p, li):
+    """Linear against stacked ``(n_layers, K, N)`` weights at traced ``li``.
+
+    Routes to the Pallas indexed-linear kernel on TPU (reads only layer
+    ``li``'s bytes from the stacked HBM buffer — no dynamic-slice copy);
+    quantised or non-lane-aligned leaves fall back to slice + ``_linear``.
+    """
+    if isinstance(p.get("w"), dict):
+        return _linear(h, _index_tree(p, li))
+    from fluid_llm_tpu.ops.indexed_linear import indexed_linear
+
+    return indexed_linear(h, p["w"], p.get("b"), li)
+
+
+def _block_stacked(x, lys, li, cfg: BackboneConfig, positions, allowed, valid):
+    """One transformer block over stacked layer params at traced layer ``li``.
+
+    Inference-only twin of ``block`` inside ``apply`` (no LoRA, no dropout):
+    the scanned-layer path runs this under ``lax.scan`` so the rollout
+    program body holds ONE block instead of ``n_layers``.
+    """
+    bs, L = x.shape[:2]
+    d = cfg.d_model
+    kv_dim = cfg.kv_heads * cfg.head_dim
+    h = _norm(x, _index_tree(lys["ln1"], li), cfg) if cfg.pre_ln else x
+    attn = lys["attn"]
+    if "qkv" in attn:
+        qkv = _stacked_linear(h, attn["qkv"], li)
+        q, k, v = qkv[..., :d], qkv[..., d:d + kv_dim], qkv[..., d + kv_dim:]
+    else:
+        q = _stacked_linear(h, attn["q"], li)
+        k = _stacked_linear(h, attn["k"], li)
+        v = _stacked_linear(h, attn["v"], li)
+    q = q.reshape(bs, L, cfg.n_heads, cfg.head_dim)
+    k = k.reshape(bs, L, cfg.kv_heads, cfg.head_dim)
+    v = v.reshape(bs, L, cfg.kv_heads, cfg.head_dim)
+    if cfg.pos == "rope":
+        q, k = _rope(q, k, positions, cfg)
+    if cfg.kv_heads != cfg.n_heads:
+        rep = cfg.n_heads // cfg.kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    attn_out = _sdpa(q, k, v, allowed, valid, cfg).reshape(bs, L, d)
+    x = x + _stacked_linear(attn_out, attn["o"], li)
+    if not cfg.pre_ln:
+        x = _norm(x, _index_tree(lys["ln1"], li), cfg)
+
+    h = _norm(x, _index_tree(lys["ln2"], li), cfg) if cfg.pre_ln else x
+    mlp = lys["mlp"]
+    if cfg.family == "llama":
+        h = _stacked_linear(
+            jax.nn.silu(_stacked_linear(h, mlp["gate"], li))
+            * _stacked_linear(h, mlp["up"], li),
+            mlp["down"], li,
+        )
+    else:
+        h = _stacked_linear(
+            _act(_stacked_linear(h, mlp["fc1"], li), cfg.act), mlp["fc2"], li
+        )
+    x = x + h
+    if not cfg.pre_ln:
+        x = _norm(x, _index_tree(lys["ln2"], li), cfg)
+    return x
+
+
 def apply(
     params: Params,
     cfg: BackboneConfig,
@@ -370,6 +519,11 @@ def apply(
         positions = positions_override
     if allowed_override is not None:
         allowed = allowed_override
+        # the Pallas flash kernel rebuilds causal+valid internally and cannot
+        # honour an arbitrary mask — force the XLA path so a custom mask is
+        # never silently dropped (e.g. the banded streaming oracle at >=2k
+        # tokens under attn_impl=auto/flash)
+        cfg = cfg.replace(attn_impl="xla")
 
     # HF OPT order: project_in first, THEN add positional embeddings (which
     # live at d_model) — ``OPTDecoder.forward``
@@ -412,6 +566,13 @@ def apply(
         h = _norm(x, layer_params["ln1"], cfg) if cfg.pre_ln else x
         kv_dim = cfg.kv_heads * cfg.head_dim
         if "qkv" in layer_params["attn"]:
+            if layer_lora is not None and any(
+                n in layer_lora.get("attn", {}) for n in ("q", "k", "v")
+            ):
+                raise ValueError(
+                    "packed qkv params cannot apply q/k/v LoRA adapters — "
+                    "merge adapters first (FluidLLM.prepare_inference_params)"
+                )
             # fused projection from pack_qkv_params (inference path)
             qkv = _linear(h, layer_params["attn"]["qkv"])
             q, k, v = (qkv[..., :d], qkv[..., d:d + kv_dim], qkv[..., d + kv_dim:])
@@ -448,14 +609,37 @@ def apply(
 
     block_fn = jax.checkpoint(block, static_argnums=()) if cfg.remat else block
 
-    lora_layers = (lora or {}).get("layers", [None] * cfg.n_layers)
+    stacked = not isinstance(params["layers"], list)
     n_full = cfg.n_layers - (1 if decode_slice is not None else 0)
-    for li in range(n_full):
-        x = block_fn(x, params["layers"][li], lora_layers[li], drop_keys[1 + 2 * li], drop_keys[2 + 2 * li])
+    if stacked:
+        # stacked inference layout (``stack_layers``): scan over blocks.
+        # Adapters/dropout are a training concern — the stacked layout is
+        # produced by ``prepare_inference_params`` after LoRA is merged.
+        if lora is not None:
+            raise ValueError("stacked layer params cannot apply a LoRA tree — "
+                             "merge adapters before stack_layers")
+        if train and dropout_rate > 0.0:
+            raise ValueError("stacked layer params are inference-only "
+                             "(dropout needs per-layer keys)")
+        lys = params["layers"]
+
+        def scan_block(h, li):
+            return _block_stacked(h, lys, li, cfg, positions, allowed, valid), None
+
+        body = jax.checkpoint(scan_block) if cfg.remat else scan_block
+        x, _ = jax.lax.scan(body, x, jnp.arange(n_full), unroll=_scan_unroll())
+        last_layer = jax.tree_util.tree_map(lambda a: a[-1], lys)
+        last_lora = None
+    else:
+        lora_layers = (lora or {}).get("layers", [None] * cfg.n_layers)
+        for li in range(n_full):
+            x = block_fn(x, params["layers"][li], lora_layers[li], drop_keys[1 + 2 * li], drop_keys[2 + 2 * li])
+        last_layer = params["layers"][-1]
+        last_lora = lora_layers[-1]
 
     if decode_slice is not None:
         x = _final_block_sliced(
-            x, params["layers"][-1], lora_layers[-1], cfg, positions, valid,
+            x, last_layer, last_lora, cfg, positions, valid,
             decode_slice, lora_cfg,
         )
 
@@ -487,6 +671,13 @@ def _final_block_sliced(x, layer_params, layer_lora, cfg: BackboneConfig,
 
     kv_dim = cfg.kv_heads * cfg.head_dim
     if "qkv" in layer_params["attn"]:
+        if layer_lora is not None and any(
+            n in layer_lora.get("attn", {}) for n in ("q", "k", "v")
+        ):
+            raise ValueError(
+                "packed qkv params cannot apply q/k/v LoRA adapters — "
+                "merge adapters first (FluidLLM.prepare_inference_params)"
+            )
         # packed weights: q over the slice, fused k|v over the full window
         p_qkv = layer_params["attn"]["qkv"]
         w = materialize_w(p_qkv, h.dtype)
@@ -611,16 +802,28 @@ def apply_streaming(
     # step before this formulation); as a scan carry the updates alias
     # in place
     ck_all, cv_all = cache["k"], cache["v"]
-    for li in range(cfg.n_layers):
-        lp = params["layers"][li]
-        h = _norm(x, lp["ln1"], cfg) if cfg.pre_ln else x
-        if "qkv" in lp["attn"]:
-            qkv = _linear(h, lp["attn"]["qkv"])
+
+    def layer_step(x, ck_all, cv_all, li, lp):
+        # ``lp`` is the per-layer param dict on the unrolled (list) path and
+        # None on the stacked path, where linears go through the Pallas
+        # indexed-linear kernel against the closed-over stacked buffers
+        if lp is None:
+            lys = params["layers"]
+            lin = lambda h, g, n: _stacked_linear(h, lys[g][n], li)
+            ln = lambda n: _index_tree(lys[n], li)
+            attn_names = lys["attn"]
+        else:
+            lin = lambda h, g, n: _linear(h, lp[g][n])
+            ln = lambda n: lp[n]
+            attn_names = lp["attn"]
+        h = _norm(x, ln("ln1"), cfg) if cfg.pre_ln else x
+        if "qkv" in attn_names:
+            qkv = lin(h, "attn", "qkv")
             q, k, v = qkv[..., :d], qkv[..., d:d + kv_dim], qkv[..., d + kv_dim:]
         else:
-            q = _linear(h, lp["attn"]["q"])
-            k = _linear(h, lp["attn"]["k"])
-            v = _linear(h, lp["attn"]["v"])
+            q = lin(h, "attn", "q")
+            k = lin(h, "attn", "k")
+            v = lin(h, "attn", "v")
         q = q.reshape(bs, Ln, cfg.n_heads, cfg.head_dim)
         k = k.reshape(bs, Ln, cfg.kv_heads, cfg.head_dim)
         v = v.reshape(bs, Ln, cfg.kv_heads, cfg.head_dim)
@@ -633,27 +836,95 @@ def apply_streaming(
             cv_all, v.astype(cv_all.dtype)[None], (li, 0, write_offset, 0, 0)
         )
 
-        kk, vv = ck_all[li].astype(cfg.dtype), cv_all[li].astype(cfg.dtype)
+        kk = jax.lax.dynamic_index_in_dim(ck_all, li, 0, False).astype(cfg.dtype)
+        vv = jax.lax.dynamic_index_in_dim(cv_all, li, 0, False).astype(cfg.dtype)
         if cfg.kv_heads != cfg.n_heads:
             rep = cfg.n_heads // cfg.kv_heads
             kk = jnp.repeat(kk, rep, axis=2)
             vv = jnp.repeat(vv, rep, axis=2)
         attn_out = _attention_xla(q, kk, vv, allowed, cfg.dtype)
-        x = x + _linear(attn_out.reshape(bs, Ln, d), lp["attn"]["o"])
+        x = x + lin(attn_out.reshape(bs, Ln, d), "attn", "o")
         if not cfg.pre_ln:
-            x = _norm(x, lp["ln1"], cfg)
+            x = _norm(x, ln("ln1"), cfg)
 
-        h2 = _norm(x, lp["ln2"], cfg) if cfg.pre_ln else x
+        h2 = _norm(x, ln("ln2"), cfg) if cfg.pre_ln else x
         if cfg.family == "llama":
-            h2 = _linear(
-                jax.nn.silu(_linear(h2, lp["mlp"]["gate"])) * _linear(h2, lp["mlp"]["up"]),
-                lp["mlp"]["down"],
+            h2 = lin(
+                jax.nn.silu(lin(h2, "mlp", "gate")) * lin(h2, "mlp", "up"),
+                "mlp", "down",
             )
         else:
-            h2 = _linear(_act(_linear(h2, lp["mlp"]["fc1"]), cfg.act), lp["mlp"]["fc2"])
+            h2 = lin(_act(lin(h2, "mlp", "fc1"), cfg.act), "mlp", "fc2")
         x = x + h2
         if not cfg.pre_ln:
-            x = _norm(x, lp["ln2"], cfg)
+            x = _norm(x, ln("ln2"), cfg)
+        return x, ck_all, cv_all
+
+    if isinstance(params["layers"], list):
+        for li in range(cfg.n_layers):
+            x, ck_all, cv_all = layer_step(
+                x, ck_all, cv_all, li, params["layers"][li]
+            )
+    else:
+        # stacked layout (``stack_layers``): scan over blocks — same math,
+        # ~n_layers× smaller program.  The cache rides the scan's xs/ys:
+        # each iteration consumes ONE layer's (bs, cap, kvh, hd) slice and
+        # emits the updated slice, which lax.scan writes into the stacked
+        # output at the iteration index.  Keeping the full stack in the
+        # carry instead measures ~0.3 ms/step slower — XLA copies the whole
+        # (n_layers, ...) buffer around the traced-index update.
+        lys = params["layers"]
+
+        def body(x, xs):
+            k_l, v_l, li = xs
+            lin = lambda h2, g, n: _stacked_linear(h2, lys[g][n], li)
+            ln = lambda n: _index_tree(lys[n], li)
+            attn_names = lys["attn"]
+            h = _norm(x, ln("ln1"), cfg) if cfg.pre_ln else x
+            if "qkv" in attn_names:
+                qkv = lin(h, "attn", "qkv")
+                q, k, v = (qkv[..., :d], qkv[..., d:d + kv_dim],
+                           qkv[..., d + kv_dim:])
+            else:
+                q = lin(h, "attn", "q")
+                k = lin(h, "attn", "k")
+                v = lin(h, "attn", "v")
+            q = q.reshape(bs, Ln, cfg.n_heads, cfg.head_dim)
+            k = k.reshape(bs, Ln, cfg.kv_heads, cfg.head_dim)
+            v = v.reshape(bs, Ln, cfg.kv_heads, cfg.head_dim)
+            q, k = _rope(q, k, pos_b, cfg)
+            k_l = jax.lax.dynamic_update_slice(
+                k_l, k.astype(k_l.dtype), (0, write_offset, 0, 0)
+            )
+            v_l = jax.lax.dynamic_update_slice(
+                v_l, v.astype(v_l.dtype), (0, write_offset, 0, 0)
+            )
+            kk, vv = k_l.astype(cfg.dtype), v_l.astype(cfg.dtype)
+            if cfg.kv_heads != cfg.n_heads:
+                rep = cfg.n_heads // cfg.kv_heads
+                kk = jnp.repeat(kk, rep, axis=2)
+                vv = jnp.repeat(vv, rep, axis=2)
+            attn_out = _attention_xla(q, kk, vv, allowed, cfg.dtype)
+            x = x + lin(attn_out.reshape(bs, Ln, d), "attn", "o")
+            if not cfg.pre_ln:
+                x = _norm(x, ln("ln1"), cfg)
+            h2 = _norm(x, ln("ln2"), cfg) if cfg.pre_ln else x
+            if cfg.family == "llama":
+                h2 = lin(
+                    jax.nn.silu(lin(h2, "mlp", "gate")) * lin(h2, "mlp", "up"),
+                    "mlp", "down",
+                )
+            else:
+                h2 = lin(_act(lin(h2, "mlp", "fc1"), cfg.act), "mlp", "fc2")
+            x = x + h2
+            if not cfg.pre_ln:
+                x = _norm(x, ln("ln2"), cfg)
+            return x, (k_l, v_l)
+
+        x, (ck_all, cv_all) = jax.lax.scan(
+            body, x, (ck_all, cv_all, jnp.arange(cfg.n_layers)),
+            unroll=_scan_unroll(),
+        )
 
     if cfg.final_ln:
         x = _norm(x, params["final_norm"], cfg)

@@ -119,12 +119,21 @@ def rotary3d_abs_apply(
     token's embedding is a pure function of its absolute (x, y, t) — frozen
     once computed.  Opt-in (``pos_embedding_type: rope_abs``); not a
     reference mode.  x: (bs, seq, N_patch, d); position_ids: (..., 3).
+
+    The 2π factor applies to the NORMALISED spatial axes only.  Feeding raw
+    integer t through it would zero the i=0 rung (sin 2πt = 0, cos 2πt = 1)
+    and alias the low rungs at ~1 period/step; raw t into the ladder is the
+    standard absolute sinusoidal encoding.  (Changed r3 after advisor review
+    — checkpoints trained with the r2 scaling are not embedding-compatible.)
     """
     bs, seq, n, d = x.shape
     pos = position_ids.reshape(bs, seq * n, 3).astype(jnp.float32)
     sx, sy = spatial_scale
-    scale = jnp.asarray([max(sx - 1, 1), max(sy - 1, 1), 1.0], jnp.float32)
-    return _sincos_ladder3(x, pos / scale * (2 * math.pi))
+    mult = jnp.asarray(
+        [2 * math.pi / max(sx - 1, 1), 2 * math.pi / max(sy - 1, 1), 1.0],
+        jnp.float32,
+    )
+    return _sincos_ladder3(x, pos * mult)
 
 
 # -- combined input embeddings (``input_embeddings.py:9-52``) ----------------

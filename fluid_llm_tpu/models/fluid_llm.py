@@ -69,9 +69,17 @@ class FluidLLM:
 
     def prepare_inference_params(self, params: Params) -> Params:
         """Exact inference-time param transform: fold LoRA/DoRA adapters into
-        the backbone (``lora.merge_lora``) and fuse each layer's q/k/v into
-        one projection (``backbone.pack_qkv_params``).  Same math, fewer and
-        larger MXU dispatches — used by the rollout/serving path."""
+        the backbone (``lora.merge_lora``), fuse each layer's q/k/v into one
+        projection (``backbone.pack_qkv_params``), and cast matmul weights
+        to the activation dtype (``backbone.cast_matmul_params``).  Same
+        math, fewer and larger MXU dispatches — used by the rollout/serving
+        path.  ``FLUID_SCAN_LAYERS=1`` additionally stacks the layer list
+        into the scanned layout (``backbone.stack_layers``): ~n_layers×
+        smaller programs, ~10× faster cold compile, at -38 % serving
+        throughput (measured tradeoff table in BENCHMARKS.md) — off by
+        default."""
+        import os
+
         p = dict(params)
         if "lora" in p:
             from fluid_llm_tpu.models.lora import merge_lora
@@ -80,6 +88,11 @@ class FluidLLM:
             p["backbone"] = merge_lora(p["backbone"], p["lora"], self.cfg.lora_config)
             del p["lora"]
         p["backbone"] = bb.pack_qkv_params(p["backbone"])
+        p["backbone"] = bb.cast_matmul_params(
+            p["backbone"], self.backbone_cfg.dtype
+        )
+        if os.environ.get("FLUID_SCAN_LAYERS", "0") == "1":
+            p["backbone"] = bb.stack_layers(p["backbone"])
         return p
 
     def init(self, key: jax.Array) -> Params:

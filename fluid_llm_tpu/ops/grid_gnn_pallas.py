@@ -334,10 +334,16 @@ def _fsa_bwd(heads, cdim, interpret, res, g):
 fused_slot_attention.defvjp(_fsa_fwd, _fsa_bwd)
 
 
-def supported(x_shape, heads: int, cdim: int, min_frames: int = 16) -> bool:
+def supported(x_shape, heads: int, cdim: int, min_frames: int = 16,
+              ignore_heads: bool = False) -> bool:
     """Use the kernel only when the frame batch amortises launch overhead
     and one frame fits the single-program VMEM budget.  At small batches
-    (e.g. the bs=1 rollout) XLA's fused elementwise path is faster."""
+    (e.g. the bs=1 rollout) XLA's fused elementwise path is faster.
+
+    ``ignore_heads`` answers "would this dispatch if the multi-head path
+    were qualified?" — the strict-mode loud-error check in ``grid_gnn``
+    uses it so the heads>1 gate can't silently masquerade as the kernel.
+    """
     X, Y, F = x_shape[-3], x_shape[-2], x_shape[-1]
     n_frames = 1
     for d in x_shape[:-3]:
@@ -350,5 +356,5 @@ def supported(x_shape, heads: int, cdim: int, min_frames: int = 16) -> bool:
         # interpret-tested but not hardware-qualified on this toolchain, and
         # a Mosaic lowering failure inside a jitted train step cannot be
         # caught by the dispatch fallback
-        and heads == 1
+        and (heads == 1 or ignore_heads)
     )

@@ -27,18 +27,66 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from fluid_llm_tpu.config import ParallelConfig
 
 
+def mesh_shape(n_devices: int, cfg: Optional[ParallelConfig] = None) -> tuple[int, int, int]:
+    """Resolve the (data, fsdp, model) axis sizes for ``n_devices``."""
+    cfg = cfg or ParallelConfig()
+    model = max(1, cfg.model_axis)
+    fsdp = max(1, cfg.fsdp_axis)
+    if n_devices % (model * fsdp) != 0:
+        raise ValueError(
+            f"{n_devices} devices not divisible by model={model} * fsdp={fsdp}"
+        )
+    data = n_devices // (model * fsdp) if cfg.data_axis == -1 else cfg.data_axis
+    if data * fsdp * model != n_devices:
+        raise ValueError(f"mesh {data}x{fsdp}x{model} != {n_devices} devices")
+    return data, fsdp, model
+
+
+def multihost_device_order(devices, data: int, fsdp: int, model: int) -> np.ndarray:
+    """Arrange global devices as a (data, fsdp, model) array such that
+    ``fsdp`` and ``model`` stay WITHIN a process (collectives ride ICI) and
+    only ``data`` spans processes (gradient psum is the sole DCN
+    collective — the reference's DDP topology, ``src/main.py:150-152``).
+
+    Requires fsdp*model to divide each process's device count; processes
+    must hold equally many devices.  Pure math over ``process_index`` /
+    ``id`` attributes, unit-testable with fake device objects.
+    """
+    by_proc: dict[int, list] = {}
+    for d in devices:
+        by_proc.setdefault(getattr(d, "process_index", 0), []).append(d)
+    counts = {len(v) for v in by_proc.values()}
+    if len(counts) != 1:
+        raise ValueError(f"uneven devices per process: { {k: len(v) for k, v in by_proc.items()} }")
+    per = counts.pop()
+    n_proc = len(by_proc)
+    if (fsdp * model) > per or per % (fsdp * model) != 0:
+        raise ValueError(
+            f"fsdp*model={fsdp * model} must divide the {per} devices of each "
+            f"process (model/fsdp collectives must not cross DCN)"
+        )
+    local_data = per // (fsdp * model)
+    if data != n_proc * local_data:
+        raise ValueError(
+            f"data axis {data} != n_processes {n_proc} * local data {local_data}"
+        )
+    arr = np.empty((data, fsdp, model), dtype=object)
+    for pi, pidx in enumerate(sorted(by_proc)):
+        local = sorted(by_proc[pidx], key=lambda d: getattr(d, "id", 0))
+        block = np.asarray(local, dtype=object).reshape(local_data, fsdp, model)
+        arr[pi * local_data:(pi + 1) * local_data] = block
+    return arr
+
+
 def make_mesh(cfg: Optional[ParallelConfig] = None, devices=None) -> Mesh:
     cfg = cfg or ParallelConfig()
     devices = devices if devices is not None else jax.devices()
-    n = len(devices)
-    model = max(1, cfg.model_axis)
-    fsdp = max(1, cfg.fsdp_axis)
-    if n % (model * fsdp) != 0:
-        raise ValueError(f"{n} devices not divisible by model={model} * fsdp={fsdp}")
-    data = n // (model * fsdp) if cfg.data_axis == -1 else cfg.data_axis
-    if data * fsdp * model != n:
-        raise ValueError(f"mesh {data}x{fsdp}x{model} != {n} devices")
-    arr = np.asarray(devices).reshape(data, fsdp, model)
+    data, fsdp, model = mesh_shape(len(devices), cfg)
+    multihost = any(getattr(d, "process_index", 0) != 0 for d in devices)
+    if multihost:
+        arr = multihost_device_order(devices, data, fsdp, model)
+    else:
+        arr = np.asarray(devices).reshape(data, fsdp, model)
     return Mesh(arr, ("data", "fsdp", "model"))
 
 
@@ -53,7 +101,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: tuple, mesh: Mesh) -> tuple:
+    """Place a batch on the mesh.
+
+    Single-process: plain ``device_put``.  Multi-host: every process builds
+    the same seeded global batch, keeps its own contiguous data-axis rows
+    (the ``multihost_device_order`` layout makes a process's rows
+    contiguous), and assembles the global array from process-local shards —
+    the ``jax.distributed`` analogue of Accelerate's per-rank DataLoader
+    split (``src/main.py:150-152``).
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        n_proc = jax.process_count()
+        pid = jax.process_index()
+
+        def put(x):
+            x = np.asarray(x)
+            rows = x.shape[0] // n_proc
+            local = x[pid * rows:(pid + 1) * rows]
+            return jax.make_array_from_process_local_data(sh, local, x.shape)
+
+        return tuple(put(x) for x in batch)
     return tuple(jax.device_put(x, sh) for x in batch)
 
 

@@ -163,21 +163,54 @@ def check_streaming(n_steps: int = 6) -> None:
     print(f"streaming rollout OK on {jax.default_backend()} ({n_steps} steps)")
 
 
-def main() -> int:
+def run_checks(only: str | None = None) -> dict:
+    """Run the kernel parity checks; return {check: "ok" | "FAIL: ..."}.
+
+    Called by ``bench.py`` after its rollout measurement (same process —
+    it already owns the TPU session) so hardware kernel parity is recorded
+    as a ``TPU_SMOKE.json`` artifact every benched round, not run by hand.
+    """
     import jax
+
+    checks = (
+        ("flash", lambda: check_flash(2048)),
+        ("grid_gnn", lambda: check_grid_gnn(16)),
+        ("streaming", lambda: check_streaming()),
+    )
+    results = {"backend": jax.default_backend()}
+    for name, fn in checks:
+        if only not in (None, name):
+            continue
+        try:
+            fn()
+            results[name] = "ok"
+        except Exception as e:  # record, keep checking the rest
+            results[name] = f"FAIL: {type(e).__name__}: {e}"
+    return results
+
+
+def main() -> int:
+    import argparse
+    import json
+
+    import jax
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("only", nargs="?", default=None,
+                        choices=[None, "flash", "grid_gnn", "streaming"])
+    parser.add_argument("--json", default=None, help="write results to PATH")
+    args = parser.parse_args()
 
     if jax.default_backend() not in ("tpu", "axon"):
         # still meaningful (compiled Mosaic interpret is CPU), but say so
         print(f"WARNING: running on {jax.default_backend()}, not TPU", file=sys.stderr)
-    only = sys.argv[1] if len(sys.argv) > 1 else None
-    if only in (None, "flash"):
-        check_flash(2048)
-    if only in (None, "grid_gnn"):
-        check_grid_gnn(16)
-    if only in (None, "streaming"):
-        check_streaming()
-    print("TPU kernel smoke: ALL OK")
-    return 0
+    results = run_checks(args.only)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=1)
+    failed = [k for k, v in results.items() if k != "backend" and v != "ok"]
+    print("TPU kernel smoke:", "ALL OK" if not failed else f"FAILED: {failed}")
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

@@ -267,17 +267,25 @@ def test_rollout_config_matrix(see_init, bos):
     np.testing.assert_allclose(np.asarray(df[:, 0]), np.asarray(diffs0), atol=5e-5)
 
 
-def test_prepare_inference_params_exact():
-    """merge_lora + pack_qkv_params is an exact transform: full forward and
-    the single-frame rollout agree with the unpacked adapter path."""
+def test_prepare_inference_params_exact(monkeypatch):
+    """merge_lora + pack_qkv_params + stack_layers is an exact transform:
+    full forward and the single-frame rollout agree with the unpacked
+    adapter path.  Runs the opt-in scanned layout (FLUID_SCAN_LAYERS=1) so
+    the stacked path is what the oracle checks."""
+    monkeypatch.setenv("FLUID_SCAN_LAYERS", "1")
     cfg, ds, props, model, batch = tiny_setup(use_lora=True)
     params = model.init(jax.random.PRNGKey(3))
     states, _, _, bc_mask, pos = batch
 
     packed = model.prepare_inference_params(params)
     assert "lora" not in packed
-    assert "qkv" in packed["backbone"]["layers"][0]["attn"]
-    assert "q" not in packed["backbone"]["layers"][0]["attn"]
+    # stacked scanned layout: the layer list became one pytree with a
+    # leading n_layers axis (backbone.stack_layers)
+    layers = packed["backbone"]["layers"]
+    assert not isinstance(layers, list)
+    assert "qkv" in layers["attn"] and "q" not in layers["attn"]
+    n_layers = model.backbone_cfg.n_layers
+    assert layers["attn"]["qkv"]["w"].shape[0] == n_layers
 
     ref = model.predict_diffs(params, states, pos)
     out = model.predict_diffs(packed, states, pos)

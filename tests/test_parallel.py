@@ -220,3 +220,53 @@ def test_sharded_checkpoint_resume(tmp_path):
         shard_batch(batch, mesh2), jax.random.PRNGKey(2),
     )
     assert np.isfinite(float(m2["loss"]))
+
+
+class _FakeDev:
+    """Minimal device stand-in for the multi-host ordering math."""
+
+    def __init__(self, pid, did):
+        self.process_index = pid
+        self.id = did
+
+    def __repr__(self):
+        return f"p{self.process_index}d{self.id}"
+
+
+def test_multihost_device_order_keeps_model_fsdp_on_host():
+    from fluid_llm_tpu.parallel.mesh import mesh_shape, multihost_device_order
+
+    # 4 processes x 8 local devices = 32; fsdp=2, model=4 must stay on-host
+    devs = [_FakeDev(p, p * 8 + i) for p in range(4) for i in range(8)]
+    data, fsdp, model = mesh_shape(32, ParallelConfig(model_axis=4, fsdp_axis=2))
+    assert (data, fsdp, model) == (4, 2, 4)
+    arr = multihost_device_order(devs, data, fsdp, model)
+    assert arr.shape == (4, 2, 4)
+    # every (fsdp, model) slice at a fixed data coordinate is single-process
+    for di in range(4):
+        procs = {d.process_index for d in arr[di].ravel()}
+        assert len(procs) == 1, f"data row {di} spans processes {procs}"
+    # data rows cover all processes in order, devices sorted by id
+    assert [arr[di, 0, 0].process_index for di in range(4)] == [0, 1, 2, 3]
+    assert [d.id for d in arr[0].ravel()] == list(range(8))
+
+
+def test_multihost_device_order_rejects_cross_host_model_axis():
+    from fluid_llm_tpu.parallel.mesh import multihost_device_order
+
+    devs = [_FakeDev(p, p * 4 + i) for p in range(2) for i in range(4)]
+    with pytest.raises(ValueError, match="must divide"):
+        # model=8 > 4 local devices would force TP over DCN
+        multihost_device_order(devs, 1, 1, 8)
+    with pytest.raises(ValueError, match="uneven"):
+        multihost_device_order(devs + [_FakeDev(2, 100)], 3, 1, 3)
+
+
+def test_multihost_local_data_rows_contiguous():
+    from fluid_llm_tpu.parallel.mesh import multihost_device_order
+
+    # 2 procs x 4 devices, pure data parallel: rows 0-3 proc0, 4-7 proc1 —
+    # the contiguity contract shard_batch's local-slice logic relies on
+    devs = [_FakeDev(p, p * 4 + i) for p in range(2) for i in range(4)]
+    arr = multihost_device_order(devs, 8, 1, 1)
+    assert [arr[i, 0, 0].process_index for i in range(8)] == [0] * 4 + [1] * 4

@@ -332,6 +332,29 @@ def test_streaming_merges_adapters_on_the_fly():
     )
 
 
+def test_streaming_scanned_layout_matches_unrolled(monkeypatch):
+    """The opt-in scanned-layer layout (FLUID_SCAN_LAYERS=1 — stacked params,
+    lax.scan over blocks, cache as scan xs/ys) serves identically to the
+    default unrolled path."""
+    cfg, ds, model, batch = llama_setup(use_lora=False)
+    raw = model.init(jax.random.PRNGKey(0))
+    states, _, _, bc_mask, pos_ids = batch
+    n_steps = 3
+
+    run = jax.jit(lambda p, s: generate_streaming(model, p, s, bc_mask, pos_ids, n_steps))
+    unrolled = model.prepare_inference_params(raw)
+    assert isinstance(unrolled["backbone"]["layers"], list)
+    got_u, _ = run(unrolled, states[:, :1])
+
+    monkeypatch.setenv("FLUID_SCAN_LAYERS", "1")
+    stacked = model.prepare_inference_params(raw)
+    assert not isinstance(stacked["backbone"]["layers"], list)
+    got_s, _ = run(stacked, states[:, :1])
+    np.testing.assert_allclose(
+        np.asarray(got_u), np.asarray(got_s), atol=2e-5, rtol=1e-5
+    )
+
+
 def test_streaming_rejects_relative_time_and_long_context(setup):
     cfg, ds, model, batch = setup
     states, _, _, bc_mask, pos_ids = batch
