@@ -64,7 +64,7 @@ def build_dataset(args, mode, window):
         from fluid_llm_tpu.data.synthetic import SyntheticCylinderDataset
 
         if args.dataset_path == "synthetic":
-            src = SyntheticCylinderDataset(n_trajectories=4, resolution=args.resolution, mode=mode)
+            src = SyntheticCylinderDataset(n_trajectories=args.n_traj, resolution=args.resolution, mode=mode)
         else:
             from fluid_llm_tpu.data.cylinder import MGNDataset
 
@@ -74,7 +74,7 @@ def build_dataset(args, mode, window):
         from fluid_llm_tpu.data.synthetic import SyntheticGraphDataset
 
         return SyntheticGraphDataset(
-            n_trajectories=4, mode=mode, window_length=window,
+            n_trajectories=args.n_traj, mode=mode, window_length=window,
             n_cluster=args.n_cluster if args.model == "graphvit" else 0,
         )
     if "eagle" in args.dataset_path.lower():
@@ -291,7 +291,19 @@ def run_dilresnet(args):
         m = jnp.broadcast_to(jnp.asarray(mask)[:, :, None], true.shape)
         rows.append(np.asarray(calc_n_rmse(pred, true, m))[0])
     per_step = np.stack(rows).mean(axis=0)
-    logger.info("DilResNet overall N-RMSE: %.4g", float(per_step.mean()))
+    probes = {s: float(per_step[s]) for s in (5, 20, 40, 100) if s < len(per_step)}
+    logger.info(
+        "DilResNet overall N-RMSE: %.4g (per-step probes %s)",
+        float(per_step.mean()),
+        {k: f"{v:.3g}" for k, v in probes.items()},
+    )
+    csv_path = os.path.join(save_dir, f"{args.name}_nrmse.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["step", "n_rmse"])
+        for s, v in enumerate(per_step):
+            w.writerow([s, float(v)])
+    logger.info("wrote %s", csv_path)
 
 
 def save_params(save_dir, name, params, norm):
@@ -329,6 +341,7 @@ def main(argv=None):
     parser.add_argument("--w_size", type=int, default=512)
     parser.add_argument("--noise_std", type=float, default=2e-2)
     parser.add_argument("--resolution", type=int, default=238)
+    parser.add_argument("--n_traj", type=int, default=4, help="synthetic trajectories")
     parser.add_argument("--name", default="run")
     parser.add_argument("--save_dir", default="trained_models")
     args = parser.parse_args(argv)

@@ -935,16 +935,32 @@ def apply_streaming(
 
 
 def _sdpa(q, k, v, allowed, valid, cfg: BackboneConfig):
-    """Dispatch attention to the Pallas flash kernel on TPU or the XLA path.
+    """Dispatch attention to a Pallas kernel on TPU or the XLA path.
 
-    Measured crossover on v5e: XLA's fused attention wins below ~2k tokens
-    (the reference workload is <=661); the Pallas kernel wins above (1.7x at
-    4k, >25x at 8k where XLA materialises the logits in HBM).
+    Measured crossovers on v5e: above ~2k tokens the tiled flash kernel wins
+    (1.7x at 4k, >25x at 8k).  Below, XLA beats flash but still materialises
+    the (H, L, L) f32 logits in HBM — ~0.5 GB per rollout step at the
+    reference's 661 tokens — so the single-block ``short_attention`` kernel
+    (whole problem VMEM-resident, no logits round-trip) takes that range.
     """
     impl = cfg.attn_impl
+    on_tpu = jax.default_backend() == "tpu"
     if impl == "auto":
-        on_tpu = jax.default_backend() == "tpu"
+        # measured (BENCHMARKS.md): XLA wins below ~2k tokens — including
+        # against the VMEM-resident ``ops/short_attention.py`` kernel
+        # (800 vs 508 steps/s on the rollout; launch count + qkv transposes
+        # + K/V refetch outweigh the saved logits round-trip).  ``short``
+        # stays available as an explicit attn_impl for larger-head shapes.
         impl = "flash" if (on_tpu and q.shape[1] >= 2048) else "xla"
+    if impl == "short":
+        try:
+            from fluid_llm_tpu.ops.short_attention import short_attention
+
+            return short_attention(q, k, v, valid)
+        except Exception as e:
+            from fluid_llm_tpu.utils import kernel_fallback
+
+            kernel_fallback("pallas short attention", e)
     if impl == "flash":
         try:
             from fluid_llm_tpu.ops.flash_attention import flash_attention

@@ -304,6 +304,21 @@ class FluidLLM:
             h = jnp.concatenate([bos, h], axis=1)
             token_valid = jnp.concatenate([jnp.ones((bs, 1), bool), token_valid], axis=1)
 
+        # optional MXU tile padding (``FLUID_PAD_TOKENS=<multiple>``): append
+        # INVALID tokens so L is a lane-friendly multiple.  Exact — padded
+        # keys are masked out of attention, padded queries' outputs are never
+        # read (the decode slice lies left of the padding), and cumsum
+        # positions are unaffected for real tokens.
+        import os
+
+        pad_mult = int(os.environ.get("FLUID_PAD_TOKENS", "0"))
+        if pad_mult:
+            L = h.shape[1]
+            npad = (-L) % pad_mult
+            if npad:
+                h = jnp.pad(h, ((0, 0), (0, npad), (0, 0)))
+                token_valid = jnp.pad(token_valid, ((0, 0), (0, npad)))
+
         # final transformer block + decode restricted to the target frame's
         # token range (exact under causal attention; ``backbone.apply``)
         tok_start = jnp.asarray(out_idx, jnp.int32) * n_patch + (1 if cfg.use_bos_token else 0)

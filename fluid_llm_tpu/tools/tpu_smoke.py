@@ -114,6 +114,31 @@ def check_grid_gnn(frames: int = 16, fused_bwd: bool | None = None) -> None:
         print("grid-gnn fused fwd parity OK (bwd: XLA recompute default)")
 
 
+def check_indexed_linear() -> None:
+    """Scalar-prefetch indexed matmul (``ops/indexed_linear.py``) vs the
+    XLA slice formulation on hardware, at the serving gemm shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from fluid_llm_tpu.ops.indexed_linear import _xla_indexed_linear, indexed_linear
+
+    rng = np.random.default_rng(3)
+    for m, k, n in ((61, 768, 2304), (661, 768, 768)):
+        x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(4, k, n)).astype(np.float32) * 0.05,
+                        jnp.bfloat16)
+        b = jnp.asarray(rng.normal(size=(4, n)).astype(np.float32), jnp.bfloat16)
+        for li in (0, 3):
+            ref = np.asarray(_xla_indexed_linear(x, w, b, jnp.int32(li)), np.float32)
+            out = np.asarray(
+                jax.jit(indexed_linear)(x, w, b, jnp.int32(li)), np.float32
+            )
+            scale = max(np.abs(ref).max(), 1e-6)
+            rel = np.abs(out - ref).max() / scale
+            assert rel < 2e-2, f"indexed_linear ({m},{k},{n}) li={li} rel {rel}"
+    print("indexed-linear kernel parity OK")
+
+
 def check_streaming(n_steps: int = 6) -> None:
     """Streaming KV-cache rollout vs the exact rollout on hardware.
 
@@ -175,6 +200,7 @@ def run_checks(only: str | None = None) -> dict:
     checks = (
         ("flash", lambda: check_flash(2048)),
         ("grid_gnn", lambda: check_grid_gnn(16)),
+        ("indexed_linear", check_indexed_linear),
         ("streaming", lambda: check_streaming()),
     )
     results = {"backend": jax.default_backend()}
@@ -197,7 +223,8 @@ def main() -> int:
 
     parser = argparse.ArgumentParser()
     parser.add_argument("only", nargs="?", default=None,
-                        choices=[None, "flash", "grid_gnn", "streaming"])
+                        choices=[None, "flash", "grid_gnn", "indexed_linear",
+                                 "streaming"])
     parser.add_argument("--json", default=None, help="write results to PATH")
     args = parser.parse_args()
 
