@@ -124,6 +124,16 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
 
+    # serving default: trade ~1 % rollout throughput for 3.6-16x faster cold
+    # compile of the 251-step programs (FLUID_COMPILE_EFFORT=default opts out;
+    # measured frontier in BENCHMARKS.md "Cold compile")
+    effort = os.environ.get("FLUID_COMPILE_EFFORT", "-0.3")
+    if effort not in ("", "default"):
+        try:
+            jax.config.update("jax_exec_time_optimization_effort", float(effort))
+        except Exception as e:
+            logger.warning("compile-effort knob unavailable: %s", e)
+
     set_seed()
     load_path = ckpt.get_save_folder(args.checkpoint_dir, args.load_no)
     cfg = ckpt.load_config(load_path)
