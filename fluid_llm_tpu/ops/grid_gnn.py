@@ -115,19 +115,6 @@ def gatv2_conv_apply(
                 if "bias" in params:
                     out = out + params["bias"].astype(dtype)
                 return out
-            if (
-                jax.default_backend() == "tpu"
-                and os.environ.get("FLUID_STRICT_KERNELS") == "1"
-                and heads > 1
-                and gp.supported(x_l.shape, heads, out_dim, ignore_heads=True)
-            ):
-                # strict mode must not let the unqualified multi-head path
-                # silently run as XLA while claiming kernel coverage
-                raise NotImplementedError(
-                    f"fused grid-GATv2 with heads={heads} is not "
-                    "hardware-qualified on this toolchain; unset "
-                    "FLUID_STRICT_KERNELS or use heads=1"
-                )
         except Exception as e:  # fall through to the XLA formulation
             from fluid_llm_tpu.utils import kernel_fallback
 

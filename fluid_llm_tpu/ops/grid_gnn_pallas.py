@@ -98,11 +98,11 @@ def _masks_yx(Y, X):
 
 
 def _softmax_maps(logits, masks):
-    """Per-slot masked softmax over 5 (H, Y, X) f32 maps -> alphas."""
+    """Per-slot masked softmax over 5 (Y, X) f32 maps -> alphas."""
     neg = jnp.float32(-jnp.inf)
-    masked = [jnp.where(m[None], lg, neg) for lg, m in zip(logits, masks)]
+    masked = [jnp.where(m, lg, neg) for lg, m in zip(logits, masks)]
     m = functools.reduce(jnp.maximum, masked)
-    ws = [jnp.where(mk[None], jnp.exp(lg - m), 0.0) for lg, mk in zip(masked, masks)]
+    ws = [jnp.where(mk, jnp.exp(lg - m), 0.0) for lg, mk in zip(masked, masks)]
     denom = functools.reduce(jnp.add, ws)
     return [w / denom for w in ws]
 
@@ -126,8 +126,10 @@ def _fwd_kernel(xl_ref, xr_ref, att_ref, out_ref, *, heads, cdim, f_chunk):
     masks = _masks_yx(Y, X)
     chunks = _chunk_ranges(heads, cdim, f_chunk)
 
-    # phase A: accumulate per-slot, per-head logit maps over channel chunks
-    logits = [jnp.zeros((heads, Y, X), jnp.float32) for _ in _SHIFTS]
+    # phase A: accumulate per-slot, per-head logit maps over channel chunks.
+    # Heads live in PYTHON lists of (Y, X) maps — a (H, Y, X) array indexed
+    # at h would lower `.at[h].add` to scatter-add, which Mosaic TC lacks.
+    logits = [[jnp.zeros((Y, X), jnp.float32) for _ in range(heads)] for _ in _SHIFTS]
     for h, off, sz in chunks:
         xl_c = xl_ref[0, pl.ds(off, sz)]
         xr_c = xr_ref[0, pl.ds(off, sz)]
@@ -139,19 +141,20 @@ def _fwd_kernel(xl_ref, xr_ref, att_ref, out_ref, *, heads, cdim, f_chunk):
             part = functools.reduce(
                 jnp.add, [u32[f] * att_ref[0, off + f] for f in range(sz)]
             )
-            logits[si] = logits[si].at[h].add(part) if heads > 1 else (
-                logits[si] + part[None]
-            )
+            logits[si][h] = logits[si][h] + part
 
-    # phase B: masked softmax over slots (tiny (Y, X) maps)
-    alphas = _softmax_maps(logits, masks)
+    # phase B: masked softmax over slots (tiny (Y, X) maps), per head
+    alphas = [
+        _softmax_maps([logits[si][h] for si in range(len(_SHIFTS))], masks)
+        for h in range(heads)
+    ]
 
     # phase C: out = sum_s alpha_s * v_s, chunk by chunk
     for h, off, sz in chunks:
         xl_c = xl_ref[0, pl.ds(off, sz)]
         acc = jnp.zeros((sz, Y, X), jnp.float32)
         for si, (dx, dy) in enumerate(_SHIFTS):
-            acc = acc + alphas[si][h][None] * _shift(xl_c, dx, dy).astype(jnp.float32)
+            acc = acc + alphas[h][si][None] * _shift(xl_c, dx, dy).astype(jnp.float32)
         out_ref[0, pl.ds(off, sz)] = acc.astype(out_ref.dtype)
 
 
@@ -164,9 +167,9 @@ def _bwd_kernel(xl_ref, xr_ref, att_ref, g_ref, dxl_ref, dxr_ref, datt_ref,
     for f in range(F):
         datt_ref[0, 0, f] = jnp.float32(0.0)
 
-    # phase A: logit and g.v maps
-    logits = [jnp.zeros((heads, Y, X), jnp.float32) for _ in _SHIFTS]
-    gvs = [jnp.zeros((heads, Y, X), jnp.float32) for _ in _SHIFTS]
+    # phase A: logit and g.v maps (python head lists — see _fwd_kernel note)
+    logits = [[jnp.zeros((Y, X), jnp.float32) for _ in range(heads)] for _ in _SHIFTS]
+    gvs = [[jnp.zeros((Y, X), jnp.float32) for _ in range(heads)] for _ in _SHIFTS]
     for h, off, sz in chunks:
         xl_c = xl_ref[0, pl.ds(off, sz)]
         xr_c = xr_ref[0, pl.ds(off, sz)]
@@ -179,17 +182,17 @@ def _bwd_kernel(xl_ref, xr_ref, att_ref, g_ref, dxl_ref, dxr_ref, datt_ref,
                 jnp.add, [u32[f] * att_ref[0, off + f] for f in range(sz)]
             )
             gv = jnp.sum((g_c * v).astype(jnp.float32), axis=0)
-            if heads > 1:
-                logits[si] = logits[si].at[h].add(lg)
-                gvs[si] = gvs[si].at[h].add(gv)
-            else:
-                logits[si] = logits[si] + lg[None]
-                gvs[si] = gvs[si] + gv[None]
+            logits[si][h] = logits[si][h] + lg
+            gvs[si][h] = gvs[si][h] + gv
 
-    # phase B: alpha and dlogit maps
-    alphas = _softmax_maps(logits, masks)
-    gv_mean = functools.reduce(jnp.add, [a * gv for a, gv in zip(alphas, gvs)])
-    dlogits = [a * (gv - gv_mean) for a, gv in zip(alphas, gvs)]
+    # phase B: alpha and dlogit maps, per head
+    alphas, dlogits = [], []
+    for h in range(heads):
+        al_h = _softmax_maps([logits[si][h] for si in range(len(_SHIFTS))], masks)
+        gv_h = [gvs[si][h] for si in range(len(_SHIFTS))]
+        gv_mean = functools.reduce(jnp.add, [a * gv for a, gv in zip(al_h, gv_h)])
+        alphas.append(al_h)
+        dlogits.append([a * (gv - gv_mean) for a, gv in zip(al_h, gv_h)])
 
     # phase C: input/parameter gradients, chunk by chunk
     for h, off, sz in chunks:
@@ -203,8 +206,8 @@ def _bwd_kernel(xl_ref, xr_ref, att_ref, g_ref, dxl_ref, dxr_ref, datt_ref,
             u, pos = _lrelu(xr_c + v)
             u32 = u.astype(jnp.float32)
             du = jnp.where(pos, 1.0, jnp.float32(NEG_SLOPE))
-            dl = dlogits[si][h]  # (Y, X) f32
-            al = alphas[si][h]
+            dl = dlogits[h][si]  # (Y, X) f32
+            al = alphas[h][si]
             for f in range(sz):
                 chain_f = dl * att_ref[0, off + f] * du[f]
                 acc_dxr[f] = acc_dxr[f] + chain_f
@@ -340,10 +343,14 @@ def supported(x_shape, heads: int, cdim: int, min_frames: int = 16,
     and one frame fits the single-program VMEM budget.  At small batches
     (e.g. the bs=1 rollout) XLA's fused elementwise path is faster.
 
-    ``ignore_heads`` answers "would this dispatch if the multi-head path
-    were qualified?" — the strict-mode loud-error check in ``grid_gnn``
-    uses it so the heads>1 gate can't silently masquerade as the kernel.
+    Multi-head is hardware-qualified (r3): heads live in python lists of
+    (Y, X) maps — the earlier ``(H, Y, X).at[h].add`` formulation lowered
+    to a scatter-add Mosaic TC lacks.  On-chip parity + timing at heads
+    2/4: fwd+grad match XLA at bf16 tolerance, ~5x faster (BENCHMARKS.md);
+    ``tools/tpu_smoke.py`` re-qualifies every benched round.
+    ``ignore_heads`` is kept for API compatibility (now a no-op).
     """
+    del ignore_heads
     X, Y, F = x_shape[-3], x_shape[-2], x_shape[-1]
     n_frames = 1
     for d in x_shape[:-3]:
@@ -352,9 +359,4 @@ def supported(x_shape, heads: int, cdim: int, min_frames: int = 16,
         n_frames >= min_frames
         and X * Y * F <= _VMEM_LIMIT_ELEMS
         and F == heads * cdim
-        # production decoders use heads=1 (``config.py:81``); multi-head is
-        # interpret-tested but not hardware-qualified on this toolchain, and
-        # a Mosaic lowering failure inside a jitted train step cannot be
-        # caught by the dispatch fallback
-        and (heads == 1 or ignore_heads)
     )

@@ -58,7 +58,8 @@ def check_flash(L: int = 2048) -> None:
     print(f"flash fwd+bwd parity OK on {jax.devices()[0].platform} at L={L}")
 
 
-def check_grid_gnn(frames: int = 16, fused_bwd: bool | None = None) -> None:
+def check_grid_gnn(frames: int = 16, fused_bwd: bool | None = None,
+                   heads: int = 1, cdim: int = 48) -> None:
     import os
 
     import jax
@@ -70,8 +71,9 @@ def check_grid_gnn(frames: int = 16, fused_bwd: bool | None = None) -> None:
         fused_bwd = os.environ.get("FLUID_GNN_FUSED_BWD", "1") != "0"
 
     rng = np.random.default_rng(1)
-    # production decoder shape: heads=1, cdim=48 (config.py:78-81), 240x64 grid
-    heads, cdim, X, Y = 1, 48, 240, 64
+    # production decoder shape: heads=1, cdim=48 (config.py:78-81), 240x64 grid;
+    # the multi-head variant re-qualifies the python-head-list formulation
+    X, Y = 240, 64
     F = heads * cdim
     xl = jnp.asarray(rng.normal(size=(frames, X, Y, F)).astype(np.float32))
     xr = jnp.asarray(rng.normal(size=(frames, X, Y, F)).astype(np.float32))
@@ -109,9 +111,9 @@ def check_grid_gnn(frames: int = 16, fused_bwd: bool | None = None) -> None:
             scale = max(np.abs(b).max(), 1e-6)
             rel = np.abs(a - b).max() / scale
             assert rel < 1e-3, f"grid-gnn d{name} rel diff {rel}"
-        print("grid-gnn fused fwd+bwd parity OK")
+        print(f"grid-gnn fused fwd+bwd parity OK (heads={heads})")
     else:
-        print("grid-gnn fused fwd parity OK (bwd: XLA recompute default)")
+        print(f"grid-gnn fused fwd parity OK (heads={heads}; bwd: XLA recompute default)")
 
 
 def check_indexed_linear() -> None:
@@ -200,6 +202,7 @@ def run_checks(only: str | None = None) -> dict:
     checks = (
         ("flash", lambda: check_flash(2048)),
         ("grid_gnn", lambda: check_grid_gnn(16)),
+        ("grid_gnn_mh", lambda: check_grid_gnn(16, heads=2, cdim=24)),
         ("indexed_linear", check_indexed_linear),
         ("streaming", lambda: check_streaming()),
     )
@@ -223,7 +226,7 @@ def main() -> int:
 
     parser = argparse.ArgumentParser()
     parser.add_argument("only", nargs="?", default=None,
-                        choices=[None, "flash", "grid_gnn", "indexed_linear",
+                        choices=[None, "flash", "grid_gnn", "grid_gnn_mh", "indexed_linear",
                                  "streaming"])
     parser.add_argument("--json", default=None, help="write results to PATH")
     args = parser.parse_args()
