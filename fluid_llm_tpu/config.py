@@ -109,6 +109,8 @@ class ParallelConfig:
     model_axis: int = 1  # tensor-parallel size for the backbone
     fsdp_axis: int = 1  # parameter/optimizer-state sharding size
     remat: bool = False  # jax.checkpoint the backbone blocks
+    pipe_axis: int = 1  # pipeline stages over the backbone layers
+    pipe_microbatches: int = 0  # 0: default 2 * pipe_axis
 
 
 @dataclass

@@ -118,6 +118,14 @@ class FluidLLM:
             params["bos"] = jax.random.normal(k_bos, (d,), jnp.float32) * 0.02
         if self.cfg.use_lora and not self.cfg.freeze_llm:
             params["lora"] = init_lora(k_lora, params["backbone"], self.cfg.lora_config)
+        if self.cfg.parallel.pipe_axis > 1:
+            # pipeline parallelism runs the stacked layer layout from the
+            # start (stage = contiguous slice of the stacked leaves)
+            if "lora" in params:
+                raise ValueError("pipeline parallelism requires full-FT "
+                                 "(use_lora: false) — per-layer LoRA trees "
+                                 "don't apply to the stacked layout")
+            params["backbone"] = bb.stack_layers(params["backbone"])
         return params
 
     def trainable_mask(self, params: Params) -> Params:
@@ -180,10 +188,34 @@ class FluidLLM:
             h = jnp.concatenate([bos, h], axis=1)
             token_valid = jnp.concatenate([jnp.ones((bs, 1), bool), token_valid], axis=1)
 
-        out = bb.apply(
-            params["backbone"], self.backbone_cfg, h, token_valid,
-            lora=params.get("lora"), lora_cfg=cfg.lora_config, train=train, rng=r_bb,
-        )
+        if cfg.parallel.pipe_axis > 1:
+            # pipeline-parallel backbone (GPipe schedule over the ``pipe``
+            # mesh axis, ``parallel/pipeline.py``) — stacked full-FT layout
+            from fluid_llm_tpu.parallel.mesh import make_mesh
+            from fluid_llm_tpu.parallel.pipeline import apply_pipelined
+
+            if params.get("lora"):
+                raise ValueError(
+                    "pipeline parallelism uses the stacked layer layout, "
+                    "which cannot apply per-layer LoRA trees — train "
+                    "full-FT (use_lora: false) or merge adapters first"
+                )
+            if train and self.backbone_cfg.dropout > 0.0:
+                raise ValueError(
+                    "the pipelined backbone is dropout-free (stacked "
+                    "scan layout) — set the backbone dropout to 0"
+                )
+            out = apply_pipelined(
+                params["backbone"], self.backbone_cfg, h, token_valid,
+                mesh=make_mesh(cfg.parallel),
+                n_microbatches=cfg.parallel.pipe_microbatches,
+                remat=cfg.parallel.remat,
+            )
+        else:
+            out = bb.apply(
+                params["backbone"], self.backbone_cfg, h, token_valid,
+                lora=params.get("lora"), lora_cfg=cfg.lora_config, train=train, rng=r_bb,
+            )
         if cfg.use_bos_token:
             out = out[:, 1:]
 

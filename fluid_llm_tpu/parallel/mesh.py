@@ -28,10 +28,15 @@ from fluid_llm_tpu.config import ParallelConfig
 
 
 def mesh_shape(n_devices: int, cfg: Optional[ParallelConfig] = None) -> tuple[int, int, int]:
-    """Resolve the (data, fsdp, model) axis sizes for ``n_devices``."""
+    """Resolve the (data, fsdp, model) axis sizes for ``n_devices``
+    (after the optional ``pipe`` axis has been divided out)."""
     cfg = cfg or ParallelConfig()
     model = max(1, cfg.model_axis)
     fsdp = max(1, cfg.fsdp_axis)
+    pipe = max(1, getattr(cfg, "pipe_axis", 1))
+    if n_devices % pipe != 0:
+        raise ValueError(f"{n_devices} devices not divisible by pipe={pipe}")
+    n_devices //= pipe
     if n_devices % (model * fsdp) != 0:
         raise ValueError(
             f"{n_devices} devices not divisible by model={model} * fsdp={fsdp}"
@@ -81,12 +86,23 @@ def multihost_device_order(devices, data: int, fsdp: int, model: int) -> np.ndar
 def make_mesh(cfg: Optional[ParallelConfig] = None, devices=None) -> Mesh:
     cfg = cfg or ParallelConfig()
     devices = devices if devices is not None else jax.devices()
+    pipe = max(1, getattr(cfg, "pipe_axis", 1))
     data, fsdp, model = mesh_shape(len(devices), cfg)
     multihost = any(getattr(d, "process_index", 0) != 0 for d in devices)
     if multihost:
+        if pipe > 1:
+            raise NotImplementedError(
+                "pipe stages must stay within a host (ppermute rides ICI); "
+                "use pipe_axis=1 across hosts"
+            )
         arr = multihost_device_order(devices, data, fsdp, model)
-    else:
-        arr = np.asarray(devices).reshape(data, fsdp, model)
+        return Mesh(arr, ("data", "fsdp", "model"))
+    if pipe > 1:
+        # pipe LAST: consecutive device ids become consecutive stages, so
+        # the per-tick ppermute hop is a nearest-neighbour ICI transfer
+        arr = np.asarray(devices).reshape(data, fsdp, model, pipe)
+        return Mesh(arr, ("data", "fsdp", "model", "pipe"))
+    arr = np.asarray(devices).reshape(data, fsdp, model)
     return Mesh(arr, ("data", "fsdp", "model"))
 
 
@@ -128,7 +144,8 @@ def shard_batch(batch: tuple, mesh: Mesh) -> tuple:
 # -- parameter partition specs ----------------------------------------------
 
 
-def backbone_param_specs(backbone_params: dict, fsdp: bool, tp: bool) -> dict:
+def backbone_param_specs(backbone_params: dict, fsdp: bool, tp: bool,
+                         pp: bool = False) -> dict:
     """PartitionSpec tree for the backbone.
 
     Tensor-parallel layout (classic Megatron split, all-reduce after o/fc2):
@@ -138,6 +155,11 @@ def backbone_param_specs(backbone_params: dict, fsdp: bool, tp: bool) -> dict:
       fc2/down:    shard input dim          -> P("model", fsdp?)
     With fsdp, the non-model dim of every matrix is sharded over "fsdp"
     (gathered on use by XLA).
+
+    Works for both the per-layer LIST layout and the ``stack_layers``
+    layout (leaves with a leading ``n_layers`` axis); with ``pp`` the
+    stacked leading axis is sharded over the ``pipe`` mesh axis —
+    pipeline-parallel stages (``parallel/pipeline.py``).
     """
     f = "fsdp" if fsdp else None
     m = "model" if tp else None
@@ -176,9 +198,17 @@ def backbone_param_specs(backbone_params: dict, fsdp: bool, tp: bool) -> dict:
             }
         return spec
 
-    spec: dict[str, Any] = {
-        "layers": [layer_spec(l) for l in backbone_params["layers"]],
-    }
+    layers = backbone_params["layers"]
+    if isinstance(layers, list):
+        layers_spec: Any = [layer_spec(l) for l in layers]
+    else:  # stacked layout: prepend the layer axis to every leaf spec
+        lead = "pipe" if pp else None
+        layers_spec = jax.tree_util.tree_map(
+            lambda s: P(lead, *tuple(s)),
+            layer_spec(layers),
+            is_leaf=lambda x: isinstance(x, P),
+        )
+    spec: dict[str, Any] = {"layers": layers_spec}
     if "final_norm" in backbone_params:  # absent for OPT-350m (post-LN)
         spec["final_norm"] = {k: P() for k in backbone_params["final_norm"]}
     if "project_in" in backbone_params:  # OPT-350m word_embed_proj_dim
@@ -217,11 +247,12 @@ def param_specs(params: dict, parallel: ParallelConfig) -> dict:
     """Full-model PartitionSpec tree mirroring ``FluidLLM`` params."""
     fsdp = parallel.fsdp_axis > 1
     tp = parallel.model_axis > 1
+    pp = getattr(parallel, "pipe_axis", 1) > 1
 
     spec: dict[str, Any] = {}
     for name, sub in params.items():
         if name == "backbone":
-            spec[name] = backbone_param_specs(sub, fsdp, tp)
+            spec[name] = backbone_param_specs(sub, fsdp, tp, pp=pp)
         elif name == "lora":
             # adapters are tiny; replicate (their matmuls follow the
             # activation sharding)
