@@ -111,6 +111,8 @@ class ParallelConfig:
     remat: bool = False  # jax.checkpoint the backbone blocks
     pipe_axis: int = 1  # pipeline stages over the backbone layers
     pipe_microbatches: int = 0  # 0: default 2 * pipe_axis
+    seq_sharded_acts: bool = False  # Megatron-SP: tokens sharded over "model"
+    #   between blocks (activation memory/bandwidth; needs model_axis > 1)
 
 
 @dataclass

@@ -491,6 +491,7 @@ def apply(
     decode_slice: Optional[tuple[jnp.ndarray, int]] = None,
     positions_override: Optional[jnp.ndarray] = None,
     allowed_override: Optional[jnp.ndarray] = None,
+    act_sharding=None,
 ) -> jnp.ndarray:
     """Run the backbone over ``inputs_embeds`` (bs, L, d) -> (bs, L, d).
 
@@ -506,8 +507,20 @@ def apply(
     ``positions_override``/``allowed_override``: replace the cumsum positions
     / causal mask — used by the streaming-equivalence oracle
     (``tests/test_streaming.py``) to express banded sliding-window attention.
+    ``act_sharding``: optional ``NamedSharding`` pinned onto the residual
+    stream at block boundaries — sequence parallelism the GSPMD way (the
+    Megatron-SP pattern: tokens sharded over the tensor-parallel axis
+    between blocks; XLA turns the TP all-reduces into reduce-scatter +
+    all-gather pairs and runs LN/residual math on token shards).  Purely a
+    layout annotation: no collective is issued by hand and the math is
+    unchanged.
     """
     from fluid_llm_tpu.models.lora import lora_linear
+
+    def _sp(h):
+        if act_sharding is None or h.ndim != 3:
+            return h
+        return jax.lax.with_sharding_constraint(h, act_sharding)
 
     bs, L = inputs_embeds.shape[:2]
     d = cfg.d_model
@@ -624,16 +637,19 @@ def apply(
         lys = params["layers"]
 
         def scan_block(h, li):
-            return _block_stacked(h, lys, li, cfg, positions, allowed, valid), None
+            return _sp(
+                _block_stacked(h, lys, li, cfg, positions, allowed, valid)
+            ), None
 
         body = jax.checkpoint(scan_block) if cfg.remat else scan_block
-        x, _ = jax.lax.scan(body, x, jnp.arange(n_full), unroll=_scan_unroll())
+        x, _ = jax.lax.scan(body, _sp(x), jnp.arange(n_full), unroll=_scan_unroll())
         last_layer = jax.tree_util.tree_map(lambda a: a[-1], lys)
         last_lora = None
     else:
         lora_layers = (lora or {}).get("layers", [None] * cfg.n_layers)
+        x = _sp(x)
         for li in range(n_full):
-            x = block_fn(x, params["layers"][li], lora_layers[li], drop_keys[1 + 2 * li], drop_keys[2 + 2 * li])
+            x = _sp(block_fn(x, params["layers"][li], lora_layers[li], drop_keys[1 + 2 * li], drop_keys[2 + 2 * li]))
         last_layer = params["layers"][-1]
         last_lora = lora_layers[-1]
 

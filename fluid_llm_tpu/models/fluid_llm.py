@@ -212,9 +212,19 @@ class FluidLLM:
                 remat=cfg.parallel.remat,
             )
         else:
+            act_sharding = None
+            if cfg.parallel.seq_sharded_acts and cfg.parallel.model_axis > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from fluid_llm_tpu.parallel.mesh import make_mesh
+
+                act_sharding = NamedSharding(
+                    make_mesh(cfg.parallel), P(("data", "fsdp"), "model")
+                )
             out = bb.apply(
                 params["backbone"], self.backbone_cfg, h, token_valid,
                 lora=params.get("lora"), lora_cfg=cfg.lora_config, train=train, rng=r_bb,
+                act_sharding=act_sharding,
             )
         if cfg.use_bos_token:
             out = out[:, 1:]

@@ -128,6 +128,31 @@ def test_pipelined_train_step():
         float(metrics["loss"]), float(metrics_dense["loss"]), rtol=1e-4)
 
 
+def test_seq_sharded_acts_matches_dense():
+    """Megatron-SP activation sharding (tokens over the model axis between
+    blocks) is a pure layout annotation — the TP train step loss must be
+    unchanged."""
+    from fluid_llm_tpu.train.optim import partition
+    from fluid_llm_tpu.train.trainer import Trainer
+
+    losses = {}
+    for sp in (False, True):
+        par = ParallelConfig(model_axis=2, fsdp_axis=2, seq_sharded_acts=sp)
+        cfg, ds, props, model, batch = tiny_setup(
+            seq_len=4, decoder="MLP", use_lora=True, parallel=par)
+        batch = tuple(np.concatenate([np.asarray(x)] * 4, axis=0)
+                      for x in batch)
+        mesh = make_mesh(par)
+        trainer = Trainer(model)
+        params = shard_params(model.init(jax.random.PRNGKey(0)), mesh, par)
+        tr, fr = partition(params, model.trainable_mask(params))
+        _, _, metrics = trainer.train_step_autoreg(
+            tr, fr, trainer.opt.init(tr), shard_batch(batch, mesh),
+            jax.random.PRNGKey(1))
+        losses[sp] = float(metrics["loss"])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
+
+
 def test_pipe_rejects_lora():
     par = ParallelConfig(pipe_axis=2)
     cfg, ds, props, model, batch = tiny_setup(
