@@ -106,7 +106,11 @@ def apply_pipelined(
     if cfg.pos == "learned":
         x = x + params["pos_embed"][positions + cfg.pos_offset].astype(cfg.dtype)
 
-    xs = x.reshape(M, mb, L, -1)
+    # f32 for the same reason as the output psum: the cotangent of a
+    # pipe-replicated input is psum-reduced on the backward pass, and a
+    # bf16 all-reduce crashes the XLA CPU backend used by the test mesh
+    # (cast back to cfg.dtype at use — exact for bf16 values)
+    xs = x.astype(jnp.float32).reshape(M, mb, L, -1)
     valid_mb = valid.reshape(M, mb, L)
 
     def stages_fn(layers_local, xs, valid_mb):
@@ -134,7 +138,7 @@ def apply_pipelined(
             # activation received from the previous stage last tick
             fresh = jax.lax.dynamic_index_in_dim(xs, jnp.clip(t, 0, M - 1), 0,
                                                  keepdims=False)
-            x_in = jnp.where(s == 0, fresh, state)
+            x_in = jnp.where(s == 0, fresh.astype(cfg.dtype), state)
             v_in = jax.lax.dynamic_index_in_dim(valid_mb, jc, 0, keepdims=False)
             y = run_stage(x_in, v_in)
             # the last stage commits finished microbatches (bubble ticks
@@ -153,11 +157,17 @@ def apply_pipelined(
         init = (jnp.zeros((mb, L, x.shape[-1]), cfg.dtype),
                 jnp.zeros((M, mb, L, x.shape[-1]), cfg.dtype))
         (_, outputs), _ = jax.lax.scan(tick, init, jnp.arange(M + S - 1))
-        # replicate the last stage's outputs across the pipe axis
+        # replicate the last stage's outputs across the pipe axis.  The sum
+        # has one non-zero term per element so f32 is exact; it also dodges
+        # an XLA CPU AllReducePromotion crash on 16-bit all-reduces
+        # ("Invalid binary instruction opcode copy") hit by bf16 models on
+        # the virtual test mesh.
         outputs = jax.lax.psum(
-            jnp.where(s == S - 1, outputs, jnp.zeros_like(outputs)), PIPE_AXIS
+            jnp.where(s == S - 1, outputs, jnp.zeros_like(outputs))
+            .astype(jnp.float32),
+            PIPE_AXIS,
         )
-        return outputs
+        return outputs.astype(cfg.dtype)
 
     layer_specs = jax.tree_util.tree_map(lambda _: P(PIPE_AXIS),
                                          params["layers"])

@@ -128,6 +128,30 @@ def test_pipelined_train_step():
         float(metrics["loss"]), float(metrics_dense["loss"]), rtol=1e-4)
 
 
+def test_pipelined_bf16_grads_compile():
+    """bf16 models must compile fwd+bwd through the pipeline: the manual
+    psum lowering on the CPU backend crashes on 16-bit all-reduces
+    (AllReducePromotion "Invalid binary instruction opcode copy"), so the
+    pipeline keeps its cross-stage reductions in f32."""
+    cfg = bb.BackboneConfig(family="llama", n_layers=2, d_model=32, n_heads=4,
+                            n_kv_heads=4, d_ff=64, dtype=jnp.bfloat16,
+                            norm="rmsnorm", pos="rope")
+    params = bb.stack_layers(bb.init_params(jax.random.PRNGKey(0), cfg))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 32), jnp.bfloat16)
+    mesh = make_mesh(ParallelConfig(pipe_axis=2))
+    sharded = pp.shard_pipeline_params(params, mesh)
+
+    def loss(lp):
+        p = dict(sharded, layers=lp)
+        out = pp.apply_pipelined(p, cfg, x, None, mesh=mesh, n_microbatches=2)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    val, g = jax.jit(jax.value_and_grad(loss))(sharded["layers"])
+    assert np.isfinite(float(val))
+    assert all(np.isfinite(np.asarray(l, dtype=np.float32)).all()
+               for l in jax.tree_util.tree_leaves(g))
+
+
 def test_seq_sharded_acts_matches_dense():
     """Megatron-SP activation sharding (tokens over the model axis between
     blocks) is a pure layout annotation — the TP train step loss must be
