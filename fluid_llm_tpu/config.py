@@ -183,6 +183,9 @@ class Config:
     absolute_time_ids: bool = False
     seed: int = 1234  # reference seeds 1234 globally (``src/utils.py:23``)
     profile_dir: Optional[str] = None  # jax.profiler trace output, if set
+    # write pred-vs-target comparison figures on validation epochs (the
+    # reference only plots at inference, ``src/inference.py:65-77``)
+    val_plot_dir: Optional[str] = None
     # gradient accumulation (the reference's ``accelerator.accumulate``,
     # ``src/main.py:68``); 1 = update every step
     grad_accum_steps: int = 1
@@ -210,7 +213,7 @@ class Config:
         self.stride = tuple(int(s) for s in self.stride)
         if self.patch_size != self.stride:
             raise ValueError("Only non-overlapping patches are supported (patch_size == stride)")
-        if self.optimizer not in ("adamw", "adam", "sgd"):
+        if self.optimizer not in ("adamw", "adam", "sgd", "adafactor"):
             raise ValueError(f"Unknown optimizer {self.optimizer}")
         for fn in self.loss_function:
             if fn not in ("mse", "rmse", "mae", "mape", "smape"):

@@ -64,6 +64,22 @@ def build_optimizer(cfg: Config) -> optax.GradientTransformation:
             )
 
         opt = optax.inject_hyperparams(adam_l2)(learning_rate=cfg.learning_rate)
+    elif cfg.optimizer == "adafactor":
+        # TPU-native addition (no reference equivalent — upstream only ever
+        # instantiates Adam/AdamW, ``src/trainer.py``): factored second
+        # moment keeps full-finetune optimizer state O(rows+cols) instead of
+        # O(rows*cols), the difference between fitting and not fitting a
+        # full-FT LLaMA-7B step on a 16 GiB v5e chip (see
+        # ``__graft_entry__.dryrun_fullshape``).
+        # min_dim_size_to_factor must stay a static python int: adafactor's
+        # init branches on it per-leaf (optax factorized.py:55), which
+        # breaks under jit if inject_hyperparams turns it into a tracer
+        opt = optax.inject_hyperparams(
+            optax.adafactor, static_args=("min_dim_size_to_factor",)
+        )(
+            learning_rate=cfg.learning_rate,
+            weight_decay_rate=wd if wd else None,
+        )
     elif cfg.optimizer == "sgd":
 
         def sgd_l2(learning_rate):

@@ -75,6 +75,27 @@ def test_multisteps_accumulation():
     state = set_learning_rate(state, 5e-4)
 
 
+def test_adafactor_state_is_factored_and_lr_injectable():
+    """optimizer='adafactor' (TPU-native addition): second moment factored
+    into row/col vectors for matrices — the full-FT 7B memory enabler — and
+    the epoch loop's lr injection reaches it like the other optimizers."""
+    cfg = Config(optimizer="adafactor", learning_rate=1e-3, weight_decay=0.0)
+    opt = build_optimizer(cfg)
+    params = {"w": jnp.ones((256, 512)), "b": jnp.ones((8,))}
+    state = opt.init(params)
+    leaves = jax.tree_util.tree_leaves(state)
+    sizes = [l.size for l in leaves if hasattr(l, "size")]
+    # no leaf is O(rows*cols): the largest state leaf is a row/col vector
+    assert max(sizes) <= 512, sizes
+    grads = {"w": jnp.full((256, 512), 0.1), "b": jnp.full((8,), 0.1)}
+    up1, state1 = opt.update(grads, state, params)
+    assert float(jnp.abs(up1["w"]).sum()) > 0.0
+    state1 = set_learning_rate(state1, 1e-4)
+    up2, _ = opt.update(grads, state1, params)
+    ratio = float(jnp.abs(up2["w"]).mean() / jnp.abs(up1["w"]).mean())
+    np.testing.assert_allclose(ratio, 0.1, rtol=0.25)
+
+
 def test_partition_combine_roundtrip():
     params = {"a": jnp.ones(2), "b": {"c": jnp.zeros(3), "d": jnp.ones(1)}}
     mask = {"a": True, "b": {"c": False, "d": True}}
