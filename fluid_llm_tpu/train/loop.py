@@ -48,6 +48,37 @@ def select_run_mode(trainer: Trainer, cfg: Config, epoch: int) -> tuple[Callable
     raise ValueError(f"Invalid configuration {tf.tf_mode}")
 
 
+def _save_val_plots(trainer, state, batch, plot_dir: str, epoch: int) -> None:
+    """Target-vs-prediction comparison frames for the first validation batch
+    (``cfg.val_plot_dir``).  Goes beyond the reference, which only plots at
+    inference (``src/inference.py:65-77``)."""
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    pred, true = jax.device_get(
+        trainer.val_rollout(state.trainable, state.frozen, batch)
+    )
+    pred, true = np.asarray(pred[0], np.float32), np.asarray(true[0], np.float32)
+    out = os.path.join(plot_dir, f"epoch_{epoch:04d}")
+    os.makedirs(out, exist_ok=True)
+    steps = sorted({0, len(pred) // 2, len(pred) - 1})
+    vmin, vmax = true[: len(pred), 0].min(), true[: len(pred), 0].max()
+    for j in steps:
+        fig, axes = plt.subplots(2, 1, figsize=(12, 6), dpi=80)
+        for ax, img, title in zip(axes, (true[j, 0], pred[j, 0]), ("target", "prediction")):
+            ax.imshow(np.flipud(img.T), vmin=vmin, vmax=vmax)
+            ax.set_title(f"{title} (step {j})")
+            ax.axis("off")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out, f"step_{j}.png"))
+        plt.close(fig)
+
+
 def train_run(
     cfg: Config,
     trainer: Trainer,
@@ -103,12 +134,19 @@ def train_run(
         train_log["lr"] = lr_schedule(epoch)
 
         if epoch_idx % 3 == 0:
-            val_metrics = jax.device_get([
-                trainer.val_step(state.trainable, state.frozen, place(batch))
-                for batch in make_batches(valid_ds, cfg.batch_size, shuffle=False)
-            ])
+            val_metrics, first_val = [], None
+            for batch in make_batches(valid_ds, cfg.batch_size, shuffle=False):
+                batch = place(batch)
+                if first_val is None:
+                    first_val = batch
+                val_metrics.append(
+                    trainer.val_step(state.trainable, state.frozen, batch)
+                )
+            val_metrics = jax.device_get(val_metrics)
             val_log, val_loss, val_nrmse = process_metrics(val_metrics, "Gen", "val")
             train_log.update(val_log)
+            if cfg.val_plot_dir and first_val is not None:
+                _save_val_plots(trainer, state, first_val, cfg.val_plot_dir, epoch)
         else:
             val_loss, val_nrmse = 0.0, 0.0
 

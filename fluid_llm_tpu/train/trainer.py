@@ -66,6 +66,7 @@ class Trainer:
         self.train_step_notf = jax.jit(partial(self._train_step, mode="notf"),
                                        static_argnames=("mode",), donate_argnums=(0, 2))
         self.val_step = jax.jit(self._val_step)
+        self.val_rollout = jax.jit(self._val_rollout)
 
     # -- state --------------------------------------------------------------
 
@@ -173,3 +174,14 @@ class Trainer:
         all_losses["loss"] = loss
         all_losses["N_RMSE"] = calc_n_rmse(pred_states, states_img, mask_img)
         return all_losses
+
+    def _val_rollout(self, trainable, frozen, batch):
+        """Predicted and target image sequences for one batch — the plotting
+        twin of ``_val_step`` (no losses; feeds ``cfg.val_plot_dir`` figures,
+        a capability the reference lacks: it only plots at inference,
+        ``src/inference.py:65-77``)."""
+        params = combine(trainable, frozen)
+        states = batch[0]
+        seq_len = states.shape[1]
+        pred_states, _ = gen_seq(self.model, params, batch, seq_len)
+        return pred_states[:, :-1], patch_to_img(states, self.model.ds_props)

@@ -75,3 +75,36 @@ def test_profiler_trace_capture(tmp_path):
     for root, _, files in os.walk(tmp_path / "trace"):
         found.extend(files)
     assert found, "no trace files written"
+
+
+def test_adafactor_train_epoch_runs():
+    """The epoch loop trains with optimizer='adafactor' (lr injection,
+    metrics, val step) — the full-FT 7B memory recipe's optimizer."""
+    cfg, ds, props, model, batch = tiny_setup(seq_len=4, decoder="MLP")
+    cfg = cfg.replace(num_epochs=1, save_on=False, optimizer="adafactor")
+    model = model.__class__(cfg=cfg, ds_props=model.ds_props, backbone_cfg=model.backbone_cfg)
+    trainer = Trainer(model)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    logs = []
+    train_run(cfg, trainer, state, ds, ds, rng=jax.random.PRNGKey(1),
+              log_fn=lambda m, e: logs.append(m))
+    assert logs
+    loss_keys = [k for k in logs[0] if k.endswith("/loss")]
+    assert loss_keys and all(np.isfinite(logs[0][k]) for k in loss_keys), logs[0]
+
+
+def test_val_plot_dir_writes_comparison_figures(tmp_path):
+    """cfg.val_plot_dir writes target-vs-prediction frames on validation
+    epochs (beyond the reference, which only plots at inference)."""
+    import os
+
+    cfg, ds, props, model, batch = tiny_setup(seq_len=4, decoder="MLP")
+    cfg = cfg.replace(num_epochs=1, save_on=False,
+                      val_plot_dir=str(tmp_path / "valplots"))
+    model = model.__class__(cfg=cfg, ds_props=model.ds_props, backbone_cfg=model.backbone_cfg)
+    trainer = Trainer(model)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    train_run(cfg, trainer, state, ds, ds, rng=jax.random.PRNGKey(1))
+    epoch_dir = tmp_path / "valplots" / "epoch_0000"
+    pngs = sorted(os.listdir(epoch_dir))
+    assert pngs and all(f.endswith(".png") for f in pngs), pngs
