@@ -113,6 +113,20 @@ class ParallelConfig:
     pipe_microbatches: int = 0  # 0: default 2 * pipe_axis
     seq_sharded_acts: bool = False  # Megatron-SP: tokens sharded over "model"
     #   between blocks (activation memory/bandwidth; needs model_axis > 1)
+    expert_axis: int = 1  # expert parallelism for MoE backbones (moe.experts)
+
+
+@dataclass
+class MoEConfig:
+    """TPU-native addition: mixture-of-experts backbone MLPs (the reference's
+    backbones are all dense).  ``experts: 0`` keeps the dense reference
+    semantics; > 0 swaps every block's MLP for a top-k routed expert bank
+    shardable over the ``expert`` mesh axis (``parallel.expert_axis``)."""
+
+    experts: int = 0
+    top_k: int = 1
+    capacity_factor: float = 1.25
+    aux_weight: float = 0.01  # Switch load-balance loss weight
 
 
 @dataclass
@@ -176,6 +190,8 @@ class Config:
 
     # TPU-native additions
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    # mixture-of-experts backbone variant (off by default — reference parity)
+    moe: MoEConfig = field(default_factory=MoEConfig)
     # absolute trajectory-step time ids instead of the reference's
     # window-relative ones — the training-side requirement of the streaming
     # KV-cache serving path (``rollout/streaming.py``; needs ``rope_abs``
@@ -207,6 +223,8 @@ class Config:
             )
         if isinstance(self.parallel, dict):
             self.parallel = _sub(ParallelConfig, self.parallel, "parallel")
+        if isinstance(self.moe, dict):
+            self.moe = _sub(MoEConfig, self.moe, "moe")
         self.learning_rate = float(self.learning_rate)
         self.weight_decay = float(self.weight_decay)
         self.patch_size = tuple(int(p) for p in self.patch_size)

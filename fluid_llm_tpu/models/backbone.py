@@ -22,6 +22,7 @@ LoRA/DoRA wrapping, and HF weight import are plain tree operations.
 from __future__ import annotations
 
 import dataclasses
+import math
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Optional
@@ -62,6 +63,16 @@ class BackboneConfig:
     attn_impl: str = "auto"  # "auto" | "xla" | "flash"
     dtype: Any = jnp.float32  # activation dtype (bf16 for parity with ref)
     remat: bool = False  # rematerialise each block (jax.checkpoint)
+    # Mixture-of-experts MLP (TPU-native addition, no reference equivalent —
+    # upstream backbones are all dense).  0 = dense.  When > 0 every block's
+    # MLP becomes `moe_experts` expert FFNs behind a top-k router with
+    # per-sequence capacity `ceil(top_k * L * capacity_factor / E)`; expert
+    # weights carry a leading E axis shardable over an "expert" mesh axis
+    # (see parallel/mesh.py) — dispatch/combine einsums let GSPMD insert the
+    # all-to-alls.
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
 
     @property
     def kv_heads(self) -> int:
@@ -161,6 +172,32 @@ def _norm_init(d, bias=True):
     return p
 
 
+def _moe_init(key: jax.Array, cfg: BackboneConfig) -> Params:
+    """One MoE MLP: router + E stacked expert FFNs (leading axis = expert,
+    shardable over the "expert" mesh axis)."""
+    E, d, ff = cfg.moe_experts, cfg.d_model, cfg.d_ff
+    kr, k1, k2, k3 = jax.random.split(key, 4)
+
+    def stacked(k, d_in, d_out, bias):
+        p = {"w": jax.random.normal(k, (E, d_in, d_out), jnp.float32) * 0.02}
+        if bias:
+            p["b"] = jnp.zeros((E, d_out), jnp.float32)
+        return p
+
+    if cfg.family == "llama":
+        experts = {
+            "gate": stacked(k1, d, ff, bias=False),
+            "up": stacked(k2, d, ff, bias=False),
+            "down": stacked(k3, ff, d, bias=False),
+        }
+    else:
+        experts = {
+            "fc1": stacked(k1, d, ff, bias=True),
+            "fc2": stacked(k2, ff, d, bias=True),
+        }
+    return {"router": _linear_init(kr, d, E, bias=False), "experts": experts}
+
+
 def init_params(key: jax.Array, cfg: BackboneConfig) -> Params:
     keys = jax.random.split(key, cfg.n_layers + 2)
     has_bias = cfg.family != "llama"
@@ -176,7 +213,9 @@ def init_params(key: jax.Array, cfg: BackboneConfig) -> Params:
             "v": _linear_init(k[2], d, kv_dim, bias=has_bias),
             "o": _linear_init(k[3], d, d, bias=has_bias),
         }
-        if cfg.family == "llama":
+        if cfg.moe_experts > 0:
+            mlp = _moe_init(k[4], cfg)
+        elif cfg.family == "llama":
             mlp = {
                 "gate": _linear_init(k[4], d, ff, bias=False),
                 "up": _linear_init(k[5], d, ff, bias=False),
@@ -225,7 +264,11 @@ def cast_matmul_params(params: Params, dtype) -> Params:
     def cast_group(group):
         out = {}
         for name, p in group.items():
-            if isinstance(p, dict) and "w" in p and not isinstance(p["w"], dict):
+            if name == "router":
+                out[name] = p  # routing logits compute in f32; keep weights f32
+            elif name == "experts":
+                out[name] = cast_group(p)  # stacked (E, ...) expert weights
+            elif isinstance(p, dict) and "w" in p and not isinstance(p["w"], dict):
                 q = dict(p, w=p["w"].astype(dtype))
                 if "b" in q:
                     q["b"] = q["b"].astype(dtype)
@@ -264,6 +307,10 @@ def stack_layers(params: Params) -> Params:
     """
     layers = params["layers"]
     if not isinstance(layers, list):
+        return params
+    if any("router" in l.get("mlp", {}) for l in layers):
+        # MoE expert weights already carry a leading (E, ...) axis that the
+        # stacked-scan block indexers don't understand — keep unrolled
         return params
     td0 = jax.tree_util.tree_structure(layers[0])
     shapes0 = [jnp.shape(l) for l in jax.tree_util.tree_leaves(layers[0])]
@@ -347,6 +394,84 @@ def _act(x, name):
     if name == "silu":
         return jax.nn.silu(x)
     raise ValueError(name)
+
+
+def _moe_mlp(h, p, cfg: BackboneConfig):
+    """Top-k routed mixture-of-experts MLP, dense-dispatch formulation.
+
+    Static shapes throughout (the TPU requirement): routing produces
+    dispatch/combine tensors (bs, L, E, C) built from one-hots + a cumsum
+    position-in-expert, and the expert FFNs run as batched einsums over
+    stacked (E, ...) weights.  Tokens beyond an expert's capacity
+    ``C = ceil(top_k * L * capacity_factor / E)`` are dropped (their MLP
+    branch contributes zero — the residual stream carries them, standard
+    Switch behaviour).  With the expert weights sharded P("expert", ...) the
+    dispatch/combine einsums are where GSPMD inserts the all-to-alls.
+
+    Returns ``(out, aux)`` — aux is the Switch load-balance loss
+    (E · Σ_e fraction_e · mean-prob_e; 1.0 at uniform routing), added to the
+    training loss by the trainer with ``cfg.moe.aux_weight``.
+    """
+    bs, L, d = h.shape
+    E, top_k = cfg.moe_experts, cfg.moe_top_k
+    C = max(1, math.ceil(cfg.moe_capacity_factor * top_k * L / E))
+
+    # routing in f32 (softmax/cumsum precision)
+    logits = jnp.einsum(
+        "bld,de->ble", h.astype(jnp.float32), p["router"]["w"].astype(jnp.float32)
+    )
+    probs = jax.nn.softmax(logits, axis=-1)
+
+    sel_oh, sel_p = [], []
+    remaining = probs
+    for _ in range(top_k):
+        idx = jnp.argmax(remaining, axis=-1)
+        oh = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # (bs, L, E)
+        sel_oh.append(oh)
+        sel_p.append(jnp.sum(probs * oh, axis=-1))  # (bs, L)
+        remaining = remaining * (1.0 - oh)
+    # top-1 keeps the raw router prob as the gate (Switch — the prob factor
+    # is what carries router gradients); top-k>1 renormalises over the
+    # selected experts (GShard/Mixtral — gates sum to 1)
+    denom = jnp.maximum(sum(sel_p), 1e-9) if top_k > 1 else jnp.ones(())
+
+    dispatch = jnp.zeros((bs, L, E, C), jnp.float32)
+    combine = jnp.zeros((bs, L, E, C), jnp.float32)
+    prev = jnp.zeros((bs, 1, E), jnp.float32)  # slots taken by earlier choices
+    for i in range(top_k):
+        oh = sel_oh[i]
+        pos = jnp.cumsum(oh, axis=1) - oh + prev  # (bs, L, E)
+        prev = prev + jnp.sum(oh, axis=1, keepdims=True)
+        keep = oh * (pos < C)
+        slot = jax.nn.one_hot(
+            jnp.minimum(pos, C - 1).astype(jnp.int32), C, dtype=jnp.float32
+        ) * keep[..., None]  # (bs, L, E, C)
+        dispatch = dispatch + slot
+        combine = combine + slot * (sel_p[i] / denom)[:, :, None, None]
+
+    xin = jnp.einsum("bld,blec->ebcd", h, dispatch.astype(h.dtype))
+    ex = p["experts"]
+
+    def w(name):
+        return materialize_w(ex[name], h.dtype)
+
+    def badd(name, y):
+        b = ex[name].get("b")
+        return y if b is None else y + b.astype(y.dtype)[:, None, None, :]
+
+    if "gate" in ex:
+        y = jax.nn.silu(jnp.einsum("ebcd,edf->ebcf", xin, w("gate")))
+        y = y * jnp.einsum("ebcd,edf->ebcf", xin, w("up"))
+        out = jnp.einsum("ebcf,efd->ebcd", y, w("down"))
+    else:
+        y = _act(badd("fc1", jnp.einsum("ebcd,edf->ebcf", xin, w("fc1"))), cfg.act)
+        out = badd("fc2", jnp.einsum("ebcf,efd->ebcd", y, w("fc2")))
+    out = jnp.einsum("ebcd,blec->bld", out, combine.astype(out.dtype))
+
+    frac = jnp.mean(sel_oh[0], axis=1)  # fraction of tokens 1st-routed per expert
+    pbar = jnp.mean(probs, axis=1)
+    aux = jnp.mean(E * jnp.sum(frac * pbar, axis=-1))
+    return out.astype(h.dtype), aux
 
 
 def _rope(q, k, positions, cfg: BackboneConfig):
@@ -492,6 +617,7 @@ def apply(
     positions_override: Optional[jnp.ndarray] = None,
     allowed_override: Optional[jnp.ndarray] = None,
     act_sharding=None,
+    moe_aux: Optional[list] = None,
 ) -> jnp.ndarray:
     """Run the backbone over ``inputs_embeds`` (bs, L, d) -> (bs, L, d).
 
@@ -514,6 +640,9 @@ def apply(
     all-gather pairs and runs LN/residual math on token shards).  Purely a
     layout annotation: no collective is issued by hand and the math is
     unchanged.
+    ``moe_aux``: optional list collector — MoE blocks (``moe_experts > 0``)
+    append one load-balance-loss scalar each; the trainer folds the mean
+    into the training loss.
     """
     from fluid_llm_tpu.models.lora import lora_linear
 
@@ -610,7 +739,10 @@ def apply(
             x = _norm(x, layer_params["ln1"], cfg)
 
         h = _norm(x, layer_params["ln2"], cfg) if cfg.pre_ln else x
-        if cfg.family == "llama":
+        aux = jnp.zeros((), jnp.float32)
+        if "router" in layer_params["mlp"]:
+            h, aux = _moe_mlp(h, layer_params["mlp"], cfg)
+        elif cfg.family == "llama":
             h = lin(jax.nn.silu(lin(h, "mlp", "gate")) * lin(h, "mlp", "up"), "mlp", "down")
         else:
             h = lin(_act(lin(h, "mlp", "fc1"), cfg.act), "mlp", "fc2")
@@ -618,7 +750,9 @@ def apply(
         x = x + dropout(h, dk1)
         if not cfg.pre_ln:
             x = _norm(x, layer_params["ln2"], cfg)
-        return x
+        # aux is a block OUTPUT (not a side-effect append) so jax.checkpoint
+        # can wrap the block without leaking tracers
+        return x, aux
 
     block_fn = jax.checkpoint(block, static_argnums=()) if cfg.remat else block
 
@@ -649,7 +783,10 @@ def apply(
         lora_layers = (lora or {}).get("layers", [None] * cfg.n_layers)
         x = _sp(x)
         for li in range(n_full):
-            x = _sp(block_fn(x, params["layers"][li], lora_layers[li], drop_keys[1 + 2 * li], drop_keys[2 + 2 * li]))
+            x, aux = block_fn(x, params["layers"][li], lora_layers[li], drop_keys[1 + 2 * li], drop_keys[2 + 2 * li])
+            x = _sp(x)
+            if moe_aux is not None and "router" in params["layers"][li]["mlp"]:
+                moe_aux.append(aux)
         last_layer = params["layers"][-1]
         last_lora = lora_layers[-1]
 
@@ -729,7 +866,9 @@ def _final_block_sliced(x, layer_params, layer_lora, cfg: BackboneConfig,
         x_s = _norm(x_s, layer_params["ln1"], cfg)
 
     h2 = _norm(x_s, layer_params["ln2"], cfg) if cfg.pre_ln else x_s
-    if cfg.family == "llama":
+    if "router" in layer_params["mlp"]:
+        h2, _ = _moe_mlp(h2, layer_params["mlp"], cfg)  # aux unused at inference
+    elif cfg.family == "llama":
         h2 = lin(jax.nn.silu(lin(h2, "mlp", "gate")) * lin(h2, "mlp", "up"), "mlp", "down")
     else:
         h2 = lin(_act(lin(h2, "mlp", "fc1"), cfg.act), "mlp", "fc2")
@@ -791,6 +930,11 @@ def apply_streaming(
         raise ValueError(
             "streaming decode requires rotary positions (llama family); "
             f"backbone family {cfg.family!r} uses {cfg.pos!r} positions"
+        )
+    if cfg.moe_experts > 0:
+        raise NotImplementedError(
+            "streaming decode does not support MoE backbones yet — "
+            "serve MoE models through the exact rollout path"
         )
     bs, Ln = x_new.shape[:2]
     d = cfg.d_model

@@ -49,6 +49,19 @@ class FluidLLM:
             remat=cfg.parallel.remat,
             attn_impl="auto" if cfg.flash_attention else "xla",
         )
+        if cfg.moe.experts > 0:
+            if cfg.parallel.pipe_axis > 1:
+                raise ValueError(
+                    "MoE backbones use per-layer expert banks, which the "
+                    "stacked pipeline layout does not support — set "
+                    "parallel.pipe_axis to 1 (shard experts via "
+                    "parallel.expert_axis instead)"
+                )
+            base_kw.update(
+                moe_experts=cfg.moe.experts,
+                moe_top_k=cfg.moe.top_k,
+                moe_capacity_factor=cfg.moe.capacity_factor,
+            )
         base_kw.update(backbone_overrides)
         bcfg = bb.preset(cfg.llm_backbone, cfg.llm_layers).replace(**base_kw)
         return cls(cfg=cfg, ds_props=ds_props, backbone_cfg=bcfg)
@@ -153,6 +166,7 @@ class FluidLLM:
         frame_valid: Optional[jnp.ndarray] = None,
         train: bool = False,
         rng: Optional[jax.Array] = None,
+        moe_aux: Optional[list] = None,
     ) -> jnp.ndarray:
         """``model.py:128-152``.
 
@@ -224,7 +238,7 @@ class FluidLLM:
             out = bb.apply(
                 params["backbone"], self.backbone_cfg, h, token_valid,
                 lora=params.get("lora"), lora_cfg=cfg.lora_config, train=train, rng=r_bb,
-                act_sharding=act_sharding,
+                act_sharding=act_sharding, moe_aux=moe_aux,
             )
         if cfg.use_bos_token:
             out = out[:, 1:]
@@ -247,6 +261,7 @@ class FluidLLM:
         frame_valid: Optional[jnp.ndarray] = None,
         train: bool = False,
         rng: Optional[jax.Array] = None,
+        moe_aux: Optional[list] = None,
     ) -> jnp.ndarray:
         """Duplicate the first frame, run forward, drop its prediction
         (``model.py:118-126``).  With ``frame_valid`` the duplicated slot is
@@ -256,7 +271,8 @@ class FluidLLM:
         if frame_valid is not None:
             frame_valid = jnp.concatenate([frame_valid[:, :1], frame_valid], axis=1)
         preds = self.forward(
-            params, states, position_ids, frame_valid=frame_valid, train=train, rng=rng
+            params, states, position_ids, frame_valid=frame_valid, train=train,
+            rng=rng, moe_aux=moe_aux,
         )
         return preds[:, 1:]
 

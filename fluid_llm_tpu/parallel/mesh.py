@@ -29,14 +29,20 @@ from fluid_llm_tpu.config import ParallelConfig
 
 def mesh_shape(n_devices: int, cfg: Optional[ParallelConfig] = None) -> tuple[int, int, int]:
     """Resolve the (data, fsdp, model) axis sizes for ``n_devices``
-    (after the optional ``pipe`` axis has been divided out)."""
+    (after the optional ``pipe``/``expert`` axes have been divided out)."""
     cfg = cfg or ParallelConfig()
     model = max(1, cfg.model_axis)
     fsdp = max(1, cfg.fsdp_axis)
     pipe = max(1, getattr(cfg, "pipe_axis", 1))
-    if n_devices % pipe != 0:
-        raise ValueError(f"{n_devices} devices not divisible by pipe={pipe}")
-    n_devices //= pipe
+    expert = max(1, getattr(cfg, "expert_axis", 1))
+    if pipe > 1 and expert > 1:
+        raise ValueError("pipe and expert axes cannot be combined (MoE uses "
+                         "the per-layer layout; pipeline uses stacked layers)")
+    if n_devices % (pipe * expert) != 0:
+        raise ValueError(
+            f"{n_devices} devices not divisible by pipe={pipe} * expert={expert}"
+        )
+    n_devices //= pipe * expert
     if n_devices % (model * fsdp) != 0:
         raise ValueError(
             f"{n_devices} devices not divisible by model={model} * fsdp={fsdp}"
@@ -87,6 +93,7 @@ def make_mesh(cfg: Optional[ParallelConfig] = None, devices=None) -> Mesh:
     cfg = cfg or ParallelConfig()
     devices = devices if devices is not None else jax.devices()
     pipe = max(1, getattr(cfg, "pipe_axis", 1))
+    expert = max(1, getattr(cfg, "expert_axis", 1))
     data, fsdp, model = mesh_shape(len(devices), cfg)
     multihost = any(getattr(d, "process_index", 0) != 0 for d in devices)
     if multihost:
@@ -95,6 +102,11 @@ def make_mesh(cfg: Optional[ParallelConfig] = None, devices=None) -> Mesh:
                 "pipe stages must stay within a host (ppermute rides ICI); "
                 "use pipe_axis=1 across hosts"
             )
+        if expert > 1:
+            raise NotImplementedError(
+                "expert dispatch all-to-alls must ride ICI; "
+                "use expert_axis=1 across hosts"
+            )
         arr = multihost_device_order(devices, data, fsdp, model)
         return Mesh(arr, ("data", "fsdp", "model"))
     if pipe > 1:
@@ -102,13 +114,24 @@ def make_mesh(cfg: Optional[ParallelConfig] = None, devices=None) -> Mesh:
         # the per-tick ppermute hop is a nearest-neighbour ICI transfer
         arr = np.asarray(devices).reshape(data, fsdp, model, pipe)
         return Mesh(arr, ("data", "fsdp", "model", "pipe"))
+    if expert > 1:
+        # experts LAST: the dispatch all-to-all permutes between adjacent
+        # device ids; batch additionally shards over "expert" (see
+        # batch_sharding) so EP devices are not idle outside MoE layers
+        arr = np.asarray(devices).reshape(data, fsdp, model, expert)
+        return Mesh(arr, ("data", "fsdp", "model", "expert"))
     arr = np.asarray(devices).reshape(data, fsdp, model)
     return Mesh(arr, ("data", "fsdp", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch tensors shard over (data, fsdp) jointly — fsdp devices see
-    distinct microbatches, ZeRO-style."""
+    distinct microbatches, ZeRO-style.  With an ``expert`` axis the batch
+    shards over it too (canonical DP+EP: tokens live data-parallel on the
+    expert devices; the MoE dispatch einsum is where GSPMD inserts the
+    token→expert all-to-all)."""
+    if "expert" in mesh.axis_names:
+        return NamedSharding(mesh, P(("data", "fsdp", "expert")))
     return NamedSharding(mesh, P(("data", "fsdp")))
 
 
@@ -145,7 +168,7 @@ def shard_batch(batch: tuple, mesh: Mesh) -> tuple:
 
 
 def backbone_param_specs(backbone_params: dict, fsdp: bool, tp: bool,
-                         pp: bool = False) -> dict:
+                         pp: bool = False, ep: bool = False) -> dict:
     """PartitionSpec tree for the backbone.
 
     Tensor-parallel layout (classic Megatron split, all-reduce after o/fc2):
@@ -185,7 +208,33 @@ def backbone_param_specs(backbone_params: dict, fsdp: bool, tp: bool,
                 "o": _fit(linear_spec("row"), layer["attn"]["o"]),
             },
         }
-        if "gate" in layer["mlp"]:
+        if "router" in layer["mlp"]:
+            # MoE: router replicated (tiny); stacked (E, ...) expert weights
+            # shard their leading axis over "expert", trailing dims reuse the
+            # dense Megatron col/row splits
+            e = "expert" if ep else None
+
+            def expert_spec(kind, p):
+                base = _fit(linear_spec(kind), p)
+                # quantized storage comes back as a nested dict — replicate
+                # it (the packed bytes are tiny) instead of prefixing specs
+                return {
+                    k: P(e, *tuple(v)) if isinstance(v, P)
+                    else jax.tree_util.tree_map(lambda _: P(), v)
+                    for k, v in base.items()
+                }
+
+            ex = layer["mlp"]["experts"]
+            spec["mlp"] = {
+                "router": {"w": P()},
+                "experts": {
+                    name: expert_spec(
+                        "row" if name in ("down", "fc2") else "col", ex[name]
+                    )
+                    for name in ex
+                },
+            }
+        elif "gate" in layer["mlp"]:
             spec["mlp"] = {
                 "gate": _fit(linear_spec("col"), layer["mlp"]["gate"]),
                 "up": _fit(linear_spec("col"), layer["mlp"]["up"]),
@@ -248,11 +297,12 @@ def param_specs(params: dict, parallel: ParallelConfig) -> dict:
     fsdp = parallel.fsdp_axis > 1
     tp = parallel.model_axis > 1
     pp = getattr(parallel, "pipe_axis", 1) > 1
+    ep = getattr(parallel, "expert_axis", 1) > 1
 
     spec: dict[str, Any] = {}
     for name, sub in params.items():
         if name == "backbone":
-            spec[name] = backbone_param_specs(sub, fsdp, tp, pp=pp)
+            spec[name] = backbone_param_specs(sub, fsdp, tp, pp=pp, ep=ep)
         elif name == "lora":
             # adapters are tiny; replicate (their matmuls follow the
             # activation sharding)

@@ -83,6 +83,10 @@ class Trainer:
         cfg, model = self.cfg, self.model
         states, next_state, diffs, bc_mask, position_ids = batch
         r_noise, r_model = jax.random.split(rng)
+        # MoE backbones: collect per-block load-balance losses (weighted into
+        # the loss below; ``gen``'s stop-gradient guide and ``notf``'s rollout
+        # run without a collector — only the gradient-bearing forward counts)
+        moe_aux = [] if model.backbone_cfg.moe_experts > 0 else None
 
         if mode == "autoreg":
             if cfg.noise is not None:
@@ -95,7 +99,8 @@ class Trainer:
             else:
                 input_states = states
             pred_diff = model.predict_diffs(
-                params, input_states, position_ids, train=True, rng=r_model
+                params, input_states, position_ids, train=True, rng=r_model,
+                moe_aux=moe_aux,
             )
             base_img = patch_to_img(input_states, model.ds_props)
             pred_state = base_img + pred_diff
@@ -105,7 +110,8 @@ class Trainer:
             guide_img = jax.lax.stop_gradient(guide_img)
             guide_patch = img_to_patch(guide_img, model.ds_props)
             pred_diffs = model.forward_see_init(
-                params, guide_patch, position_ids, train=True, rng=r_model
+                params, guide_patch, position_ids, train=True, rng=r_model,
+                moe_aux=moe_aux,
             )
             pred_state = guide_img + pred_diffs
         elif mode == "notf":
@@ -135,6 +141,11 @@ class Trainer:
                 pred_state, next_img, mask_img,
                 cfg.loss_function, cfg.loss_weighting, cfg.pressure_weight,
             )
+
+        if moe_aux:
+            aux = sum(moe_aux) / len(moe_aux)
+            loss = loss + cfg.moe.aux_weight * aux
+            all_losses["moe_aux"] = aux
 
         n_rmse = calc_n_rmse(
             jax.lax.stop_gradient(pred_state), next_img, mask_img
