@@ -931,11 +931,6 @@ def apply_streaming(
             "streaming decode requires rotary positions (llama family); "
             f"backbone family {cfg.family!r} uses {cfg.pos!r} positions"
         )
-    if cfg.moe_experts > 0:
-        raise NotImplementedError(
-            "streaming decode does not support MoE backbones yet — "
-            "serve MoE models through the exact rollout path"
-        )
     bs, Ln = x_new.shape[:2]
     d = cfg.d_model
     kv_dim = cfg.kv_heads * cfg.head_dim
@@ -1008,7 +1003,14 @@ def apply_streaming(
             x = _norm(x, ln("ln1"), cfg)
 
         h2 = _norm(x, ln("ln2"), cfg) if cfg.pre_ln else x
-        if cfg.family == "llama":
+        if lp is not None and "router" in lp["mlp"]:
+            # MoE MLP is per-token (routing reads only the token's own
+            # hidden state), so it composes with KV-cache streaming
+            # unchanged; expert capacity applies per decode chunk
+            # (C = ceil(k·Ln·cf/E) over the Ln new tokens) rather than per
+            # training window — strictly gentler at small Ln.  aux unused.
+            h2, _ = _moe_mlp(h2, lp["mlp"], cfg)
+        elif cfg.family == "llama":
             h2 = lin(
                 jax.nn.silu(lin(h2, "mlp", "gate")) * lin(h2, "mlp", "up"),
                 "mlp", "down",

@@ -56,6 +56,15 @@ def init_lora(key: jax.Array, backbone_params: Params, cfg: LoraConfig) -> Param
         subkeys = jax.random.split(keys[li], len(paths))
         entry: Params = {}
         for (group, name), sk in zip(paths, subkeys):
+            if name not in layer[group]:
+                if group == "mlp" and "router" in layer[group]:
+                    raise ValueError(
+                        f"LoRA target {name!r} addresses the dense MLP, but "
+                        "this is a MoE backbone (moe.experts > 0) — adapt "
+                        "attention projections only, or train the expert "
+                        "bank directly"
+                    )
+                raise KeyError(f"LoRA target {group}.{name} not in backbone")
             w = layer[group][name]["w"]
             d_in, d_out = w.shape
             # peft init: A kaiming_uniform(a=sqrt(5)) on (r, d_in) -> bound

@@ -175,11 +175,6 @@ def test_train_step_reports_and_trains_moe():
 
 def test_moe_guards():
     cfg, ds, props, model, _ = moe_setup()
-    # streaming serving unsupported
-    with pytest.raises(NotImplementedError, match="MoE"):
-        bb.apply_streaming(
-            None, model.backbone_cfg.replace(pos="rope"), None, None, None, 0
-        )
     # pipeline + MoE rejected at build time
     with pytest.raises(ValueError, match="pipe_axis"):
         FluidLLM.build(
@@ -188,3 +183,65 @@ def test_moe_guards():
     # stacked layout refuses MoE layers (keeps the unrolled path)
     params = model.init(jax.random.PRNGKey(0))
     assert isinstance(bb.stack_layers(params["backbone"])["layers"], list)
+    # LoRA targets addressing the dense MLP fail loudly on a MoE backbone
+    from fluid_llm_tpu.models.lora import LoraConfig, init_lora
+
+    with pytest.raises(ValueError, match="MoE"):
+        init_lora(
+            jax.random.PRNGKey(0), params["backbone"],
+            LoraConfig(r=2, lora_alpha=4, target_modules=("q_proj", "fc1")),
+        )
+
+
+def test_moe_streaming_equals_banded_dense():
+    """MoE composes with KV-cache streaming: apply_streaming stepped
+    frame-by-frame (ring eviction active) == one dense apply under the
+    banded mask.  Routing is per-token, so with ample capacity (no drops on
+    either formulation) the equality is exact, same as the dense-backbone
+    oracle in test_streaming.py."""
+    from test_streaming import _token_stream, llama_setup
+
+    cfg, ds, model, batch = llama_setup(
+        moe={"experts": 4, "top_k": 2, "capacity_factor": 8.0}
+    )
+    bcfg = model.backbone_cfg
+    assert bcfg.moe_experts == 4
+    params = model.init(jax.random.PRNGKey(0))
+    states, _, _, _, pos_ids = batch
+    bs, T, n_patch = states.shape[:3]
+    R = 3  # ring of 3 frames while T=5 -> frames 3,4 evict 0,1
+
+    x, positions, frame_of = _token_stream(model, params, states, pos_ids)
+    n_sink = 1 + n_patch
+
+    capacity = n_sink + R * n_patch
+    cache = bb.init_streaming_cache(bcfg, bs, capacity)
+    _, cache = bb.apply_streaming(
+        params["backbone"], bcfg, x[:, :n_sink], positions[:n_sink], cache, 0
+    )
+    stream_out = []
+    for f in range(T):
+        lo = n_sink + f * n_patch
+        y, cache = bb.apply_streaming(
+            params["backbone"], bcfg, x[:, lo:lo + n_patch],
+            positions[lo:lo + n_patch], cache, n_sink + (f % R) * n_patch,
+        )
+        stream_out.append(np.asarray(y))
+
+    qf = frame_of[:, None]
+    kf = frame_of[None, :]
+    causal = np.asarray(positions)[:, None] >= np.asarray(positions)[None, :]
+    in_band = (kf == -1) | (kf > qf - R)
+    allowed = jnp.asarray(causal & in_band)[None, None]
+    pos_b = jnp.broadcast_to(positions[None, :], (bs, x.shape[1]))
+    dense = bb.apply(
+        params["backbone"], bcfg, x,
+        positions_override=pos_b, allowed_override=allowed,
+    )
+
+    for f in range(T):
+        lo = n_sink + f * n_patch
+        np.testing.assert_allclose(
+            stream_out[f], np.asarray(dense[:, lo:lo + n_patch]),
+            atol=2e-5, rtol=1e-5, err_msg=f"frame {f}",
+        )
