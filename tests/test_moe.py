@@ -193,6 +193,54 @@ def test_moe_guards():
         )
 
 
+def test_moe_sharded_checkpoint_resume(tmp_path):
+    """EP-sharded MoE train -> save -> restore into the expert-sharded
+    template -> one more sharded step (the continue_train path must rebuild
+    the expert mesh and land the stacked (E, ...) weights back on it)."""
+    from jax.sharding import NamedSharding
+
+    from fluid_llm_tpu.main import finish_state
+    from fluid_llm_tpu.train import checkpoint as ckpt
+
+    cfg, ds, props, model, batch = moe_setup()
+    par = ParallelConfig(expert_axis=2)
+    cfg = cfg.replace(parallel=par)
+    batch8 = tuple(np.concatenate([np.asarray(x)] * 4, axis=0) for x in batch)
+    trainer = Trainer(model)
+
+    params = model.init(jax.random.PRNGKey(0))
+    state, mesh = finish_state(params, model, trainer, cfg)
+    assert mesh is not None and "expert" in mesh.axis_names
+
+    sharded_batch = shard_batch(batch8, mesh)
+    state.trainable, state.opt_state, m = trainer.train_step_autoreg(
+        state.trainable, state.frozen, state.opt_state, sharded_batch,
+        jax.random.PRNGKey(1),
+    )
+    state.epoch = 1
+    ckpt.save_checkpoint(str(tmp_path), 1, state, cfg)
+
+    params2 = model.init(jax.random.PRNGKey(9))
+    like, mesh2 = finish_state(params2, model, trainer, cfg)
+    restored = ckpt.restore_checkpoint(str(tmp_path), 1, like)
+    ex = restored.trainable["backbone"]["layers"][0]["mlp"]["experts"]["fc1"]["w"]
+    assert isinstance(ex.sharding, NamedSharding)
+    assert ex.sharding.spec[0] == "expert"
+
+    # value parity vs an unsharded restore, then one more step runs
+    like_plain = trainer.init_state(jax.random.PRNGKey(9))
+    restored_plain = ckpt.restore_checkpoint(str(tmp_path), 1, like_plain)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.trainable)[0]),
+        np.asarray(jax.tree_util.tree_leaves(restored_plain.trainable)[0]),
+    )
+    _, _, m2 = trainer.train_step_autoreg(
+        restored.trainable, restored.frozen, restored.opt_state, sharded_batch,
+        jax.random.PRNGKey(2),
+    )
+    assert np.isfinite(float(m2["loss"]))
+
+
 def test_moe_streaming_equals_banded_dense():
     """MoE composes with KV-cache streaming: apply_streaming stepped
     frame-by-frame (ring eviction active) == one dense apply under the
