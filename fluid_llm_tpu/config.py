@@ -190,6 +190,13 @@ class Config:
 
     # TPU-native additions
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    # Store FROZEN backbone weights in bf16 (reference parity: upstream
+    # LOADS the backbone in torch bf16 and trains f32 adapters over it,
+    # ``/root/reference/src/models/model.py:46-55`` — we default to f32
+    # frozen masters instead; this opt-in halves the frozen backbone's HBM
+    # footprint, e.g. for 7B-class adapter training).  Trainable params and
+    # optimizer state stay f32 either way.
+    frozen_bf16: bool = False
     # mixture-of-experts backbone variant (off by default — reference parity)
     moe: MoEConfig = field(default_factory=MoEConfig)
     # absolute trajectory-step time ids instead of the reference's

@@ -49,6 +49,10 @@ def finish_state(params, model: FluidLLM, trainer: Trainer, cfg: Config):
 
     mask = model.trainable_mask(params)
     trainable, frozen = partition(params, mask)
+    if cfg.frozen_bf16:
+        from fluid_llm_tpu.train.trainer import cast_frozen_bf16
+
+        frozen = cast_frozen_bf16(frozen)
     opt_state = trainer.opt.init(trainable)
     if mesh is not None:
         # moment leaves inherit the trainable sharding through opt.init, but

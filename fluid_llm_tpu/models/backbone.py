@@ -396,7 +396,7 @@ def _act(x, name):
     raise ValueError(name)
 
 
-def _moe_mlp(h, p, cfg: BackboneConfig):
+def _moe_mlp(h, p, cfg: BackboneConfig, shardings=None):
     """Top-k routed mixture-of-experts MLP, dense-dispatch formulation.
 
     Static shapes throughout (the TPU requirement): routing produces
@@ -449,7 +449,17 @@ def _moe_mlp(h, p, cfg: BackboneConfig):
         dispatch = dispatch + slot
         combine = combine + slot * (sel_p[i] / denom)[:, :, None, None]
 
-    xin = jnp.einsum("bld,blec->ebcd", h, dispatch.astype(h.dtype))
+    # ``shardings`` (optional pair built by FluidLLM.forward when
+    # parallel.expert_axis > 1): [0] pins the per-expert tensors to
+    # P("expert", ...) — the constraint that turns the dispatch einsum into
+    # a token→expert all-to-all with each device running ONLY its local
+    # expert bank (without it GSPMD keeps the batch sharding and all-gathers
+    # every layer's expert weights: measured 44 GiB of temps at the
+    # 8×7B-geometry dryrun vs ~1 GiB with the constraint); [1] returns the
+    # combined output to the batch sharding.
+    _ep = (lambda t: jax.lax.with_sharding_constraint(t, shardings[0])) \
+        if shardings else (lambda t: t)
+    xin = _ep(jnp.einsum("bld,blec->ebcd", h, dispatch.astype(h.dtype)))
     ex = p["experts"]
 
     def w(name):
@@ -462,11 +472,13 @@ def _moe_mlp(h, p, cfg: BackboneConfig):
     if "gate" in ex:
         y = jax.nn.silu(jnp.einsum("ebcd,edf->ebcf", xin, w("gate")))
         y = y * jnp.einsum("ebcd,edf->ebcf", xin, w("up"))
-        out = jnp.einsum("ebcf,efd->ebcd", y, w("down"))
+        out = _ep(jnp.einsum("ebcf,efd->ebcd", y, w("down")))
     else:
         y = _act(badd("fc1", jnp.einsum("ebcd,edf->ebcf", xin, w("fc1"))), cfg.act)
-        out = badd("fc2", jnp.einsum("ebcf,efd->ebcd", y, w("fc2")))
+        out = _ep(badd("fc2", jnp.einsum("ebcf,efd->ebcd", y, w("fc2"))))
     out = jnp.einsum("ebcd,blec->bld", out, combine.astype(out.dtype))
+    if shardings:
+        out = jax.lax.with_sharding_constraint(out, shardings[1])
 
     frac = jnp.mean(sel_oh[0], axis=1)  # fraction of tokens 1st-routed per expert
     pbar = jnp.mean(probs, axis=1)
@@ -618,6 +630,7 @@ def apply(
     allowed_override: Optional[jnp.ndarray] = None,
     act_sharding=None,
     moe_aux: Optional[list] = None,
+    moe_shardings=None,
 ) -> jnp.ndarray:
     """Run the backbone over ``inputs_embeds`` (bs, L, d) -> (bs, L, d).
 
@@ -741,7 +754,7 @@ def apply(
         h = _norm(x, layer_params["ln2"], cfg) if cfg.pre_ln else x
         aux = jnp.zeros((), jnp.float32)
         if "router" in layer_params["mlp"]:
-            h, aux = _moe_mlp(h, layer_params["mlp"], cfg)
+            h, aux = _moe_mlp(h, layer_params["mlp"], cfg, shardings=moe_shardings)
         elif cfg.family == "llama":
             h = lin(jax.nn.silu(lin(h, "mlp", "gate")) * lin(h, "mlp", "up"), "mlp", "down")
         else:

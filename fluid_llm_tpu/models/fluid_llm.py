@@ -235,10 +235,25 @@ class FluidLLM:
                 act_sharding = NamedSharding(
                     make_mesh(cfg.parallel), P(("data", "fsdp"), "model")
                 )
+            moe_shardings = None
+            if cfg.moe.experts > 0 and cfg.parallel.expert_axis > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from fluid_llm_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh(cfg.parallel)
+                # [0]: per-expert tensors (E, bs, C, d) live on their expert's
+                # devices (the dispatch einsum becomes the all-to-all);
+                # [1]: combined (bs, L, d) returns to the batch sharding
+                moe_shardings = (
+                    NamedSharding(mesh, P("expert")),
+                    NamedSharding(mesh, P(("data", "fsdp", "expert"))),
+                )
             out = bb.apply(
                 params["backbone"], self.backbone_cfg, h, token_valid,
                 lora=params.get("lora"), lora_cfg=cfg.lora_config, train=train, rng=r_bb,
                 act_sharding=act_sharding, moe_aux=moe_aux,
+                moe_shardings=moe_shardings,
             )
         if cfg.use_bos_token:
             out = out[:, 1:]

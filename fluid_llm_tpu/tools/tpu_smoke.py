@@ -190,6 +190,53 @@ def check_streaming(n_steps: int = 6) -> None:
     print(f"streaming rollout OK on {jax.default_backend()} ({n_steps} steps)")
 
 
+def check_moe(L: int = 661, E: int = 8, top_k: int = 2) -> None:
+    """MoE routed MLP on hardware vs a per-token numpy oracle (f32).
+
+    The dense-dispatch formulation (one-hots + cumsum position-in-expert +
+    batched expert einsums, ``models/backbone.py::_moe_mlp``) is plain XLA,
+    but the argmax/cumsum/one-hot chain and the (bs, L, E, C) dispatch
+    tensors deserve the same hardware qualification as the Pallas kernels:
+    TPU rounding of the combine path must stay within f32 tolerance at the
+    production token count."""
+    import jax
+    import jax.numpy as jnp
+
+    from fluid_llm_tpu.models import backbone as bb
+
+    cfg = bb.BackboneConfig(
+        family="opt", n_layers=1, d_model=64, n_heads=2, d_ff=128,
+        moe_experts=E, moe_top_k=top_k, moe_capacity_factor=8.0,
+    )
+    rng = np.random.default_rng(3)
+    p = bb._moe_init(jax.random.PRNGKey(0), cfg)
+    h = jnp.asarray(rng.normal(size=(2, L, 64)).astype(np.float32))
+    out, aux = jax.jit(lambda hh: bb._moe_mlp(hh, p, cfg))(h)
+    out = np.asarray(out, np.float32)
+
+    hn = np.asarray(h, np.float32)
+    wr = np.asarray(p["router"]["w"], np.float32)
+    w1 = np.asarray(p["experts"]["fc1"]["w"], np.float32)
+    b1 = np.asarray(p["experts"]["fc1"]["b"], np.float32)
+    w2 = np.asarray(p["experts"]["fc2"]["w"], np.float32)
+    b2 = np.asarray(p["experts"]["fc2"]["b"], np.float32)
+    want = np.zeros_like(hn)
+    for b in range(hn.shape[0]):
+        for l in range(L):
+            logits = hn[b, l] @ wr
+            probs = np.exp(logits - logits.max())
+            probs = probs / probs.sum()
+            sel = np.argsort(-probs)[:top_k]
+            gates = probs[sel] / probs[sel].sum() if top_k > 1 else probs[sel]
+            for e, g in zip(sel, gates):
+                y = np.maximum(hn[b, l] @ w1[e] + b1[e], 0.0)
+                want[b, l] += g * (y @ w2[e] + b2[e])
+    err = np.abs(out - want).max() / max(np.abs(want).max(), 1e-9)
+    assert err < 1e-4, f"moe routed-MLP rel err {err:.2e} on hardware"
+    assert np.isfinite(float(aux))
+    print(f"moe OK (L={L}, E={E}, top{top_k}; rel err {err:.1e})")
+
+
 def run_checks(only: str | None = None) -> dict:
     """Run the kernel parity checks; return {check: "ok" | "FAIL: ..."}.
 
@@ -205,6 +252,7 @@ def run_checks(only: str | None = None) -> dict:
         ("grid_gnn_mh", lambda: check_grid_gnn(16, heads=2, cdim=24)),
         ("indexed_linear", check_indexed_linear),
         ("streaming", lambda: check_streaming()),
+        ("moe", lambda: check_moe()),
     )
     results = {"backend": jax.default_backend()}
     for name, fn in checks:
@@ -227,7 +275,7 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("only", nargs="?", default=None,
                         choices=[None, "flash", "grid_gnn", "grid_gnn_mh", "indexed_linear",
-                                 "streaming"])
+                                 "streaming", "moe"])
     parser.add_argument("--json", default=None, help="write results to PATH")
     args = parser.parse_args()
 

@@ -41,6 +41,29 @@ Params = dict[str, Any]
 Batch = tuple  # (states, next_state, diffs, bc_mask, position_ids)
 
 
+def cast_frozen_bf16(frozen: Params) -> Params:
+    """Cast the frozen BACKBONE subtree's f32 leaves to bf16
+    (``cfg.frozen_bf16``).
+
+    Reference parity: upstream loads the whole backbone in torch bf16 and
+    trains f32 adapters over it (``/root/reference/src/models/model.py:46-55``);
+    we keep f32 frozen masters by default and make the bf16 storage opt-in.
+    Only the backbone subtree is cast (frozen encoder/decoder leaves, if
+    any, keep their dtype); int leaves (quantized storage) pass through.
+    The forward already casts weights to the activation dtype, so this is
+    purely a storage change.
+    """
+    def cast(x):
+        if x is not None and getattr(x, "dtype", None) == jnp.float32:
+            return x.astype(jnp.bfloat16)
+        return x
+
+    out = dict(frozen)
+    if "backbone" in out:
+        out["backbone"] = jax.tree_util.tree_map(cast, out["backbone"])
+    return out
+
+
 @dataclass
 class TrainState:
     trainable: Params
@@ -74,6 +97,8 @@ class Trainer:
         params = self.model.init(key)
         mask = self.model.trainable_mask(params)
         trainable, frozen = partition(params, mask)
+        if self.cfg.frozen_bf16:
+            frozen = cast_frozen_bf16(frozen)
         opt_state = self.opt.init(trainable)
         return TrainState(trainable=trainable, frozen=frozen, opt_state=opt_state)
 

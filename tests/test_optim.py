@@ -128,3 +128,42 @@ def test_lr_schedule_continues_on_resume():
     assert epoch == 120
     # epoch 120 with step 50 / gamma 0.5 -> lr * 0.5**2
     np.testing.assert_allclose(metrics["lr"], 1e-3 * 0.25, rtol=1e-9)
+
+
+def test_frozen_bf16_storage():
+    """``cfg.frozen_bf16`` stores the frozen backbone in bf16 (the
+    reference loads its backbone in torch bf16, ``model.py:46-55``) while
+    trainable params and optimizer state stay f32; the train step runs and
+    matches the f32-frozen step within bf16 rounding."""
+    from fluid_llm_tpu.train.trainer import Trainer
+    from test_model import tiny_setup
+
+    cfg, ds, props, model, batch = tiny_setup(
+        seq_len=4, decoder="MLP", use_lora=True
+    )
+    trainer32 = Trainer(model)
+    s32 = trainer32.init_state(jax.random.PRNGKey(0))
+
+    model16 = model.__class__(
+        cfg=cfg.replace(frozen_bf16=True),
+        ds_props=model.ds_props,
+        backbone_cfg=model.backbone_cfg,
+    )
+    trainer16 = Trainer(model16)
+    s16 = trainer16.init_state(jax.random.PRNGKey(0))
+
+    fr_leaf = s16.frozen["backbone"]["layers"][0]["attn"]["q"]["w"]
+    assert fr_leaf.dtype == jnp.bfloat16
+    tr_leaves = [x for x in jax.tree_util.tree_leaves(s16.trainable)
+                 if hasattr(x, "dtype")]
+    assert all(x.dtype == jnp.float32 for x in tr_leaves)
+
+    _, _, m32 = trainer32.train_step_autoreg(
+        s32.trainable, s32.frozen, s32.opt_state, batch, jax.random.PRNGKey(1)
+    )
+    _, _, m16 = trainer16.train_step_autoreg(
+        s16.trainable, s16.frozen, s16.opt_state, batch, jax.random.PRNGKey(1)
+    )
+    l32, l16 = float(m32["loss"]), float(m16["loss"])
+    assert np.isfinite(l16)
+    np.testing.assert_allclose(l16, l32, rtol=2e-2)
