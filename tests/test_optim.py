@@ -167,3 +167,38 @@ def test_frozen_bf16_storage():
     l32, l16 = float(m32["loss"]), float(m16["loss"])
     assert np.isfinite(l16)
     np.testing.assert_allclose(l16, l32, rtol=2e-2)
+
+
+def test_frozen_bf16_checkpoint_roundtrip(tmp_path):
+    """A frozen_bf16 run checkpoints bf16 frozen leaves and restores into a
+    frozen_bf16 template exactly (self-consistent resume)."""
+    from fluid_llm_tpu.train import checkpoint as ckpt
+    from fluid_llm_tpu.train.trainer import Trainer
+    from test_model import tiny_setup
+
+    cfg, ds, props, model, batch = tiny_setup(
+        seq_len=4, decoder="MLP", use_lora=True
+    )
+    cfg16 = cfg.replace(frozen_bf16=True)
+    model16 = model.__class__(
+        cfg=cfg16, ds_props=model.ds_props, backbone_cfg=model.backbone_cfg
+    )
+    trainer = Trainer(model16)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state.epoch = 1
+    ckpt.save_checkpoint(str(tmp_path), 1, state, cfg16)
+
+    like = trainer.init_state(jax.random.PRNGKey(7))
+    restored = ckpt.restore_checkpoint(str(tmp_path), 1, like)
+    leaf = restored.frozen["backbone"]["layers"][0]["attn"]["q"]["w"]
+    assert leaf.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(leaf, np.float32),
+        np.asarray(state.frozen["backbone"]["layers"][0]["attn"]["q"]["w"],
+                   np.float32),
+    )
+    _, _, m = trainer.train_step_autoreg(
+        restored.trainable, restored.frozen, restored.opt_state, batch,
+        jax.random.PRNGKey(2),
+    )
+    assert np.isfinite(float(m["loss"]))
