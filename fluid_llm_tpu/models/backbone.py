@@ -880,7 +880,13 @@ def _final_block_sliced(x, layer_params, layer_lora, cfg: BackboneConfig,
 
     h2 = _norm(x_s, layer_params["ln2"], cfg) if cfg.pre_ln else x_s
     if "router" in layer_params["mlp"]:
-        h2, _ = _moe_mlp(h2, layer_params["mlp"], cfg)  # aux unused at inference
+        # would compute expert capacity over the slice instead of the full
+        # window — drop/keep decisions would diverge from the dense forward;
+        # callers (fluid_llm.predict_frame_diffs) run MoE last blocks dense
+        raise NotImplementedError(
+            "decode_slice is not exact for MoE blocks (capacity couples "
+            "tokens within a layer) — run the final block dense"
+        )
     elif cfg.family == "llama":
         h2 = lin(jax.nn.silu(lin(h2, "mlp", "gate")) * lin(h2, "mlp", "up"), "mlp", "down")
     else:

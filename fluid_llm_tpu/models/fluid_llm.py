@@ -57,6 +57,22 @@ class FluidLLM:
                     "parallel.pipe_axis to 1 (shard experts via "
                     "parallel.expert_axis instead)"
                 )
+            if not 1 <= cfg.moe.top_k <= cfg.moe.experts:
+                raise ValueError(
+                    f"moe.top_k={cfg.moe.top_k} must be in [1, "
+                    f"moe.experts={cfg.moe.experts}] — the top-k selection "
+                    "loop would re-pick expert 0 with its un-zeroed "
+                    "probability once every expert is taken"
+                )
+            if cfg.parallel.expert_axis > 1 and (
+                cfg.moe.experts % cfg.parallel.expert_axis != 0
+            ):
+                raise ValueError(
+                    f"moe.experts={cfg.moe.experts} must divide evenly over "
+                    f"parallel.expert_axis={cfg.parallel.expert_axis} (the "
+                    "stacked (E, ...) expert weights shard their leading "
+                    "axis over the expert mesh axis)"
+                )
             base_kw.update(
                 moe_experts=cfg.moe.experts,
                 moe_top_k=cfg.moe.top_k,
@@ -329,6 +345,7 @@ class FluidLLM:
         frame_valid: jnp.ndarray,
         frame_idx,
         init_frame: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None,
+        moe_aux: Optional[list] = None,
     ) -> jnp.ndarray:
         """Rollout hot path: full-window backbone, *single-frame* decode.
 
@@ -393,13 +410,26 @@ class FluidLLM:
                 token_valid = jnp.pad(token_valid, ((0, 0), (0, npad)))
 
         # final transformer block + decode restricted to the target frame's
-        # token range (exact under causal attention; ``backbone.apply``)
-        tok_start = jnp.asarray(out_idx, jnp.int32) * n_patch + (1 if cfg.use_bos_token else 0)
-        out = bb.apply(
-            params["backbone"], self.backbone_cfg, h, token_valid,
-            lora=params.get("lora"), lora_cfg=cfg.lora_config,
-            decode_slice=(tok_start, n_patch),
-        )
+        # token range (exact under causal attention; ``backbone.apply``).
+        # MoE breaks the slice-exactness argument — expert capacity couples
+        # tokens WITHIN a layer (a token's drop/keep depends on the other
+        # tokens' routing), so the last block must see the full window —
+        # run it dense and slice afterwards.
+        if self.backbone_cfg.moe_experts > 0:
+            out = bb.apply(
+                params["backbone"], self.backbone_cfg, h, token_valid,
+                lora=params.get("lora"), lora_cfg=cfg.lora_config,
+                moe_aux=moe_aux,
+            )
+            tok_start = out_idx * n_patch + (1 if cfg.use_bos_token else 0)
+            out = jax.lax.dynamic_slice_in_dim(out, tok_start, n_patch, axis=1)
+        else:
+            tok_start = jnp.asarray(out_idx, jnp.int32) * n_patch + (1 if cfg.use_bos_token else 0)
+            out = bb.apply(
+                params["backbone"], self.backbone_cfg, h, token_valid,
+                lora=params.get("lora"), lora_cfg=cfg.lora_config,
+                decode_slice=(tok_start, n_patch),
+            )
         frame_tokens = out[:, None]  # (bs, 1, N, d)
         preds = patch_decoder_apply(
             params["decoder"], frame_tokens, self.ds_props, cfg.decoder_params

@@ -43,7 +43,8 @@ def generate(
     position_ids: jnp.ndarray,
     n_steps: int,
     remat: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    collect_moe_aux: bool = False,
+) -> tuple[jnp.ndarray, ...]:
     """``model.py:168-216`` as a scan.
 
     init_states: (bs, init_len, N_patch, 3, px, py) patch states.
@@ -112,10 +113,16 @@ def generate(
         # full-window backbone, static single-frame decode (exact; see
         # ``FluidLLM.predict_frame_diff``) — prediction from the last frame
         # (``model.py:163``)
+        aux_list = [] if collect_moe_aux else None
         last_img = model.predict_frame_diff(
             params, buffer, wpos, frame_valid, W - 1,
-            init_frame=(first_valid, dpos),
+            init_frame=(first_valid, dpos), moe_aux=aux_list,
         )
+        # per-step MoE load-balance aux (mean over blocks) rides the scan
+        # outputs so the notf training mode — whose gradient-bearing forward
+        # IS this rollout — can weight it into the loss
+        aux_step = (sum(aux_list) / len(aux_list)) if aux_list \
+            else jnp.zeros((), jnp.float32)
         diffs = img_to_patch(last_img[:, None], model.ds_props)[:, 0]
 
         # bc forcing with the mask of the last available state
@@ -126,14 +133,18 @@ def generate(
 
         next_state = buffer[:, W - 1] + diffs
         new_buffer = jnp.concatenate([buffer[:, 1:], next_state[:, None]], axis=1)
-        return new_buffer, (next_state, diffs)
+        return new_buffer, (next_state, diffs, aux_step)
 
     step_fn = jax.checkpoint(step) if remat else step
-    _, (next_states, all_diffs) = jax.lax.scan(step_fn, buffer, jnp.arange(n_steps))
+    _, (next_states, all_diffs, aux_steps) = jax.lax.scan(
+        step_fn, buffer, jnp.arange(n_steps)
+    )
     # scan stacks on axis 0 -> (steps, bs, ...); move to (bs, steps, ...)
     next_states = jnp.moveaxis(next_states, 0, 1)
     all_diffs = jnp.moveaxis(all_diffs, 0, 1)
     all_states = jnp.concatenate([init_states, next_states], axis=1)
+    if collect_moe_aux:
+        return all_states, all_diffs, jnp.mean(aux_steps)
     return all_states, all_diffs
 
 
@@ -144,8 +155,13 @@ def gen_seq(
     pred_steps: int,
     start_state: int = 1,
     remat: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """``model.py:218-233``: generate and reshape to image format."""
+    collect_moe_aux: bool = False,
+) -> tuple[jnp.ndarray, ...]:
+    """``model.py:218-233``: generate and reshape to image format.
+
+    ``collect_moe_aux``: additionally return the rollout-mean MoE
+    load-balance loss (the ``notf`` mode's gradient-bearing forward is this
+    rollout, so its router balance term must come from here)."""
     states, _, _, bc_mask, position_ids = batch
     seq_len = states.shape[1]
     if pred_steps + start_state - 1 > seq_len:
@@ -154,7 +170,11 @@ def gen_seq(
             f"must be less than total sequence length {seq_len}!"
         )
     init_state = states[:, :start_state]
-    all_states, all_diffs = generate(
-        model, params, init_state, bc_mask, position_ids, pred_steps, remat=remat
+    out = generate(
+        model, params, init_state, bc_mask, position_ids, pred_steps,
+        remat=remat, collect_moe_aux=collect_moe_aux,
     )
-    return patch_to_img(all_states, model.ds_props), patch_to_img(all_diffs, model.ds_props)
+    all_states, all_diffs = out[0], out[1]
+    imgs = (patch_to_img(all_states, model.ds_props),
+            patch_to_img(all_diffs, model.ds_props))
+    return imgs + ((out[2],) if collect_moe_aux else ())

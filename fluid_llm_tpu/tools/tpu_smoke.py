@@ -211,7 +211,17 @@ def check_moe(L: int = 661, E: int = 8, top_k: int = 2) -> None:
     rng = np.random.default_rng(3)
     p = bb._moe_init(jax.random.PRNGKey(0), cfg)
     h = jnp.asarray(rng.normal(size=(2, L, 64)).astype(np.float32))
-    out, aux = jax.jit(lambda hh: bb._moe_mlp(hh, p, cfg))(h)
+
+    # force true-f32 matmuls: at the TPU default (bf16-operand passes) the
+    # router logits pick up ~1e-3 rounding, enough to flip near-tie argmax
+    # experts vs the numpy oracle and turn a rounding diff into an O(1)
+    # routing diff — the check targets dispatch/combine logic, not MXU
+    # precision policy
+    def routed(hh):
+        with jax.default_matmul_precision("highest"):
+            return bb._moe_mlp(hh, p, cfg)
+
+    out, aux = jax.jit(routed)(h)
     out = np.asarray(out, np.float32)
 
     hn = np.asarray(h, np.float32)

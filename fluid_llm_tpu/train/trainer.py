@@ -49,18 +49,28 @@ def cast_frozen_bf16(frozen: Params) -> Params:
     trains f32 adapters over it (``/root/reference/src/models/model.py:46-55``);
     we keep f32 frozen masters by default and make the bf16 storage opt-in.
     Only the backbone subtree is cast (frozen encoder/decoder leaves, if
-    any, keep their dtype); int leaves (quantized storage) pass through.
+    any, keep their dtype); quantized storage dicts (``ops/quant.py``:
+    int8/nf4 ``{"q": int8, "scale"/"absmax"...: f32}``) pass through
+    WHOLE — their f32 scale chains carry the dynamic range and casting
+    them would stack rounding error for no meaningful memory win.
     The forward already casts weights to the activation dtype, so this is
     purely a storage change.
     """
+    def is_quant(node):
+        return isinstance(node, dict) and "q" in node
+
     def cast(x):
+        if is_quant(x):
+            return x
         if x is not None and getattr(x, "dtype", None) == jnp.float32:
             return x.astype(jnp.bfloat16)
         return x
 
     out = dict(frozen)
     if "backbone" in out:
-        out["backbone"] = jax.tree_util.tree_map(cast, out["backbone"])
+        out["backbone"] = jax.tree_util.tree_map(
+            cast, out["backbone"], is_leaf=is_quant
+        )
     return out
 
 
@@ -109,8 +119,10 @@ class Trainer:
         states, next_state, diffs, bc_mask, position_ids = batch
         r_noise, r_model = jax.random.split(rng)
         # MoE backbones: collect per-block load-balance losses (weighted into
-        # the loss below; ``gen``'s stop-gradient guide and ``notf``'s rollout
-        # run without a collector — only the gradient-bearing forward counts)
+        # the loss below).  Only gradient-bearing forwards count: ``gen``'s
+        # stop-gradient guide rollout runs without a collector, while
+        # ``notf``'s rollout IS its gradient-bearing forward, so its aux is
+        # threaded out of the scan (``gen_seq(collect_moe_aux=True)``)
         moe_aux = [] if model.backbone_cfg.moe_experts > 0 else None
 
         if mode == "autoreg":
@@ -143,10 +155,13 @@ class Trainer:
             seq_len = states.shape[1]
             # gradients flow through the whole rollout; remat the scan steps
             # when configured so activation memory stays bounded
-            pred_states_img, _ = gen_seq(
-                model, params, batch, seq_len, remat=cfg.parallel.remat
+            out = gen_seq(
+                model, params, batch, seq_len, remat=cfg.parallel.remat,
+                collect_moe_aux=moe_aux is not None,
             )
-            pred_state = pred_states_img[:, 1:]
+            pred_state = out[0][:, 1:]
+            if moe_aux is not None:
+                moe_aux.append(out[2])
         else:
             raise ValueError(mode)
 

