@@ -57,7 +57,11 @@ def cast_frozen_bf16(frozen: Params) -> Params:
     purely a storage change.
     """
     def is_quant(node):
-        return isinstance(node, dict) and "q" in node
+        # quantized storage = {"q": int8/uint8 array, "scale"/"absmax"...}.
+        # NOT just `"q" in node`: the attention param dict also has a "q"
+        # key (the query projection — a dict, not an int array)
+        q = node.get("q") if isinstance(node, dict) else None
+        return hasattr(q, "dtype") and jnp.issubdtype(q.dtype, jnp.integer)
 
     def cast(x):
         if is_quant(x):
