@@ -149,6 +149,33 @@ def test_expert_parallel_matches_single_device():
     )
 
 
+def test_expert_plus_tensor_parallel_matches_single_device():
+    """EP composes with TP: experts' leading axis over "expert", their
+    col/row dims over "model" (data=2 x model=2 x expert=2) == unsharded."""
+    cfg, ds, props, model, batch = moe_setup()
+    batch8 = tuple(np.concatenate([np.asarray(x)] * 4, axis=0) for x in batch)
+
+    trainer = Trainer(model)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    _, _, m0 = trainer.train_step_autoreg(
+        state.trainable, state.frozen, state.opt_state, batch8, jax.random.PRNGKey(1)
+    )
+
+    par = ParallelConfig(model_axis=2, expert_axis=2)
+    mesh = make_mesh(par)
+    assert dict(mesh.shape) == {"data": 2, "fsdp": 1, "model": 2, "expert": 2}
+    full = shard_params(model.init(jax.random.PRNGKey(0)), mesh, par)
+    tr, fr = partition(full, model.trainable_mask(full))
+    ex = tr["backbone"]["layers"][0]["mlp"]["experts"]
+    assert ex["fc1"]["w"].sharding.spec == ("expert", None, "model")
+    assert ex["fc2"]["w"].sharding.spec == ("expert", "model", None)
+    _, _, m1 = trainer.train_step_autoreg(
+        tr, fr, trainer.opt.init(tr), shard_batch(batch8, mesh),
+        jax.random.PRNGKey(1),
+    )
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-5)
+
+
 def test_train_step_reports_and_trains_moe():
     """Aux loss lands in the metrics; router and expert weights get grads."""
     cfg, ds, props, model, batch = moe_setup()
