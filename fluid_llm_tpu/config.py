@@ -126,7 +126,9 @@ class MoEConfig:
     experts: int = 0
     top_k: int = 1
     capacity_factor: float = 1.25
-    aux_weight: float = 0.01  # Switch load-balance loss weight
+    aux_weight: float = 0.01  # Switch load-balance loss weight (topk router)
+    router: str = "topk"  # "topk" (Switch/GShard) | "expert_choice"
+    #   (experts pick their top-C tokens — capacity-exact, no balance loss)
 
 
 @dataclass

@@ -73,6 +73,10 @@ class BackboneConfig:
     moe_experts: int = 0
     moe_top_k: int = 1
     moe_capacity_factor: float = 1.25
+    moe_router: str = "topk"  # "topk" (Switch/GShard) | "expert_choice"
+    #   expert_choice (Zhou et al. 2022): each expert picks its top-C tokens
+    #   — capacity-exact by construction (every expert bank runs full, no
+    #   drops, no balance loss), the most static-shape/TPU-friendly routing
 
     @property
     def kv_heads(self) -> int:
@@ -411,6 +415,14 @@ def _moe_mlp(h, p, cfg: BackboneConfig, shardings=None):
     Returns ``(out, aux)`` — aux is the Switch load-balance loss
     (E · Σ_e fraction_e · mean-prob_e; 1.0 at uniform routing), added to the
     training loss by the trainer with ``cfg.moe.aux_weight``.
+
+    ``moe_router="expert_choice"`` (Zhou et al. 2022, arXiv:2202.09368)
+    inverts the selection: each EXPERT takes its top-C tokens by router
+    affinity.  Every expert bank runs exactly full — no dropped-slot waste,
+    no balance loss needed (aux returns 0), perfectly static shapes: the
+    TPU-native routing.  A token may be picked by several or no experts
+    (the residual stream carries unpicked tokens).  Downstream of the
+    dispatch/combine construction the two routers share every einsum.
     """
     bs, L, d = h.shape
     E, top_k = cfg.moe_experts, cfg.moe_top_k
@@ -422,32 +434,42 @@ def _moe_mlp(h, p, cfg: BackboneConfig, shardings=None):
     )
     probs = jax.nn.softmax(logits, axis=-1)
 
-    sel_oh, sel_p = [], []
-    remaining = probs
-    for _ in range(top_k):
-        idx = jnp.argmax(remaining, axis=-1)
-        oh = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # (bs, L, E)
-        sel_oh.append(oh)
-        sel_p.append(jnp.sum(probs * oh, axis=-1))  # (bs, L)
-        remaining = remaining * (1.0 - oh)
-    # top-1 keeps the raw router prob as the gate (Switch — the prob factor
-    # is what carries router gradients); top-k>1 renormalises over the
-    # selected experts (GShard/Mixtral — gates sum to 1)
-    denom = jnp.maximum(sum(sel_p), 1e-9) if top_k > 1 else jnp.ones(())
+    if cfg.moe_router == "expert_choice":
+        # experts pick tokens: top-C of each expert's affinity column
+        # (an expert cannot take more tokens than the sequence holds)
+        C = min(C, L)
+        gates, idx = jax.lax.top_k(jnp.swapaxes(probs, 1, 2), C)  # (bs, E, C)
+        sel = jax.nn.one_hot(idx, L, dtype=jnp.float32)  # (bs, E, C, L)
+        dispatch = jnp.transpose(sel, (0, 3, 1, 2))  # (bs, L, E, C)
+        combine = dispatch * gates[:, None]  # broadcast over L
+        aux = jnp.zeros((), jnp.float32)  # balanced by construction
+    else:
+        sel_oh, sel_p = [], []
+        remaining = probs
+        for _ in range(top_k):
+            idx = jnp.argmax(remaining, axis=-1)
+            oh = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # (bs, L, E)
+            sel_oh.append(oh)
+            sel_p.append(jnp.sum(probs * oh, axis=-1))  # (bs, L)
+            remaining = remaining * (1.0 - oh)
+        # top-1 keeps the raw router prob as the gate (Switch — the prob
+        # factor is what carries router gradients); top-k>1 renormalises
+        # over the selected experts (GShard/Mixtral — gates sum to 1)
+        denom = jnp.maximum(sum(sel_p), 1e-9) if top_k > 1 else jnp.ones(())
 
-    dispatch = jnp.zeros((bs, L, E, C), jnp.float32)
-    combine = jnp.zeros((bs, L, E, C), jnp.float32)
-    prev = jnp.zeros((bs, 1, E), jnp.float32)  # slots taken by earlier choices
-    for i in range(top_k):
-        oh = sel_oh[i]
-        pos = jnp.cumsum(oh, axis=1) - oh + prev  # (bs, L, E)
-        prev = prev + jnp.sum(oh, axis=1, keepdims=True)
-        keep = oh * (pos < C)
-        slot = jax.nn.one_hot(
-            jnp.minimum(pos, C - 1).astype(jnp.int32), C, dtype=jnp.float32
-        ) * keep[..., None]  # (bs, L, E, C)
-        dispatch = dispatch + slot
-        combine = combine + slot * (sel_p[i] / denom)[:, :, None, None]
+        dispatch = jnp.zeros((bs, L, E, C), jnp.float32)
+        combine = jnp.zeros((bs, L, E, C), jnp.float32)
+        prev = jnp.zeros((bs, 1, E), jnp.float32)  # slots taken by earlier choices
+        for i in range(top_k):
+            oh = sel_oh[i]
+            pos = jnp.cumsum(oh, axis=1) - oh + prev  # (bs, L, E)
+            prev = prev + jnp.sum(oh, axis=1, keepdims=True)
+            keep = oh * (pos < C)
+            slot = jax.nn.one_hot(
+                jnp.minimum(pos, C - 1).astype(jnp.int32), C, dtype=jnp.float32
+            ) * keep[..., None]  # (bs, L, E, C)
+            dispatch = dispatch + slot
+            combine = combine + slot * (sel_p[i] / denom)[:, :, None, None]
 
     # ``shardings`` (optional pair built by FluidLLM.forward when
     # parallel.expert_axis > 1): [0] pins the per-expert tensors to
@@ -480,9 +502,10 @@ def _moe_mlp(h, p, cfg: BackboneConfig, shardings=None):
     if shardings:
         out = jax.lax.with_sharding_constraint(out, shardings[1])
 
-    frac = jnp.mean(sel_oh[0], axis=1)  # fraction of tokens 1st-routed per expert
-    pbar = jnp.mean(probs, axis=1)
-    aux = jnp.mean(E * jnp.sum(frac * pbar, axis=-1))
+    if cfg.moe_router != "expert_choice":
+        frac = jnp.mean(sel_oh[0], axis=1)  # fraction of tokens 1st-routed per expert
+        pbar = jnp.mean(probs, axis=1)
+        aux = jnp.mean(E * jnp.sum(frac * pbar, axis=-1))
     return out.astype(h.dtype), aux
 
 

@@ -57,6 +57,11 @@ class FluidLLM:
                     "parallel.pipe_axis to 1 (shard experts via "
                     "parallel.expert_axis instead)"
                 )
+            if cfg.moe.router not in ("topk", "expert_choice"):
+                raise ValueError(
+                    f"moe.router={cfg.moe.router!r} — use 'topk' "
+                    "(Switch/GShard) or 'expert_choice'"
+                )
             if not 1 <= cfg.moe.top_k <= cfg.moe.experts:
                 raise ValueError(
                     f"moe.top_k={cfg.moe.top_k} must be in [1, "
@@ -77,6 +82,7 @@ class FluidLLM:
                 moe_experts=cfg.moe.experts,
                 moe_top_k=cfg.moe.top_k,
                 moe_capacity_factor=cfg.moe.capacity_factor,
+                moe_router=cfg.moe.router,
             )
         base_kw.update(backbone_overrides)
         bcfg = bb.preset(cfg.llm_backbone, cfg.llm_layers).replace(**base_kw)

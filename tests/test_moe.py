@@ -94,6 +94,60 @@ def test_routing_matches_numpy_oracle():
     assert np.isfinite(float(aux))
 
 
+def test_expert_choice_matches_numpy_oracle():
+    """expert_choice routing == per-expert numpy top-C loop: each expert
+    takes its top-C tokens by softmax affinity and contributes
+    gate * FFN_e(token); unpicked tokens get zero (residual carries them).
+    Every expert runs exactly full — capacity-exact by construction."""
+    cfg = bb.BackboneConfig(
+        family="opt", n_layers=1, d_model=8, n_heads=2, d_ff=16,
+        moe_experts=2, moe_top_k=1, moe_capacity_factor=2.0,
+        moe_router="expert_choice",
+    )
+    p = bb._moe_init(jax.random.PRNGKey(0), cfg)
+    h = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 8), jnp.float32)
+    out, aux = bb._moe_mlp(h, p, cfg)
+    assert float(aux) == 0.0  # no balance loss needed
+
+    L, E = 6, 2
+    C = 6  # ceil(2.0 * 1 * 6 / 2)
+    hn = np.asarray(h)
+    wr = np.asarray(p["router"]["w"])
+    w1, b1 = np.asarray(p["experts"]["fc1"]["w"]), np.asarray(p["experts"]["fc1"]["b"])
+    w2, b2 = np.asarray(p["experts"]["fc2"]["w"]), np.asarray(p["experts"]["fc2"]["b"])
+    want = np.zeros_like(hn)
+    for b in range(2):
+        logits = hn[b] @ wr  # (L, E)
+        ex = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        probs = ex / ex.sum(axis=-1, keepdims=True)
+        for e in range(E):
+            top = np.argsort(-probs[:, e])[:C]
+            for l in top:
+                y = np.maximum(hn[b, l] @ w1[e] + b1[e], 0.0)
+                want[b, l] += probs[l, e] * (y @ w2[e] + b2[e])
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+
+def test_expert_choice_trains_end_to_end():
+    """expert_choice MoE through the trainer: finite loss, zero aux, router
+    and experts receive gradients."""
+    cfg, ds, props, model, batch = moe_setup(router="expert_choice")
+    assert model.backbone_cfg.moe_router == "expert_choice"
+    trainer = Trainer(model)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    r0 = np.asarray(
+        state.trainable["backbone"]["layers"][0]["mlp"]["router"]["w"]
+    )
+    tr, _, m = trainer.train_step_autoreg(
+        state.trainable, state.frozen, state.opt_state, batch, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["moe_aux"]) == 0.0
+    assert not np.allclose(
+        np.asarray(tr["backbone"]["layers"][0]["mlp"]["router"]["w"]), r0
+    )
+
+
 def test_capacity_drops_tokens():
     """Zero router logits send every token to expert 0; with capacity 1 only
     the first token per sequence gets an MLP contribution — the rest pass
