@@ -1046,11 +1046,15 @@ def apply_streaming(
 
         h2 = _norm(x, ln("ln2"), cfg) if cfg.pre_ln else x
         if lp is not None and "router" in lp["mlp"]:
-            # MoE MLP is per-token (routing reads only the token's own
+            # Top-k MoE is per-token (routing reads only the token's own
             # hidden state), so it composes with KV-cache streaming
             # unchanged; expert capacity applies per decode chunk
             # (C = ceil(k·Ln·cf/E) over the Ln new tokens) rather than per
             # training window — strictly gentler at small Ln.  aux unused.
+            # expert_choice routing is chunk-local here BY CONSTRUCTION
+            # (experts pick their top-C of the Ln new tokens, not of the
+            # training window) — serve expert_choice models through the
+            # exact rollout when full-window routing semantics matter.
             h2, _ = _moe_mlp(h2, lp["mlp"], cfg)
         elif cfg.family == "llama":
             h2 = lin(
