@@ -254,6 +254,19 @@ def test_train_step_reports_and_trains_moe():
     )
 
 
+def test_gen_mode_runs_with_moe():
+    """gen mode with MoE: the stop-gradient guide rollout (dense final
+    block) + the aux-collected correction forward both run; aux lands."""
+    cfg, ds, props, model, batch = moe_setup()
+    trainer = Trainer(model)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    _, _, m = trainer.train_step_gen(
+        state.trainable, state.frozen, state.opt_state, batch, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(m["loss"]))
+    assert "moe_aux" in m and float(m["moe_aux"]) > 0.0
+
+
 def test_notf_mode_collects_rollout_aux():
     """The notf mode's gradient-bearing forward is the rollout itself — its
     router load-balance aux must land in the metrics (review finding: it
