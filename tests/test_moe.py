@@ -230,6 +230,29 @@ def test_expert_plus_tensor_parallel_matches_single_device():
     np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-5)
 
 
+def test_expert_plus_fsdp_matches_single_device():
+    """EP composes with fsdp: experts shard ("expert", "fsdp", ...) —
+    leading axis over experts, weight rows ZeRO-style over fsdp."""
+    cfg, ds, props, model, batch = moe_setup()
+    batch8 = tuple(np.concatenate([np.asarray(x)] * 4, axis=0) for x in batch)
+    trainer = Trainer(model)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    _, _, m0 = trainer.train_step_autoreg(
+        state.trainable, state.frozen, state.opt_state, batch8, jax.random.PRNGKey(1)
+    )
+    par = ParallelConfig(fsdp_axis=2, expert_axis=2)
+    mesh = make_mesh(par)
+    full = shard_params(model.init(jax.random.PRNGKey(0)), mesh, par)
+    tr, fr = partition(full, model.trainable_mask(full))
+    assert tr["backbone"]["layers"][0]["mlp"]["experts"]["fc1"]["w"] \
+        .sharding.spec == ("expert", "fsdp", None)
+    _, _, m1 = trainer.train_step_autoreg(
+        tr, fr, trainer.opt.init(tr), shard_batch(batch8, mesh),
+        jax.random.PRNGKey(1),
+    )
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-5)
+
+
 def test_train_step_reports_and_trains_moe():
     """Aux loss lands in the metrics; router and expert weights get grads."""
     cfg, ds, props, model, batch = moe_setup()
