@@ -195,6 +195,49 @@ def bench_streaming():
     print(json.dumps(rec))
 
 
+def _init_watchdog(timeout_s: float | None = None):
+    """Fail loudly instead of hanging forever if the TPU backend never
+    initialises (a wedged axon terminal blocks ``jax.devices()``
+    indefinitely — observed after a SIGKILLed claim; normal claims take
+    1-3 min).  Emits the failure JSON record and exits once ``timeout_s``
+    (default 900 s, ``FLUID_INIT_TIMEOUT``; 0 disables) passes without the
+    backend coming up."""
+    import threading
+
+    timeout_s = float(
+        os.environ.get("FLUID_INIT_TIMEOUT", timeout_s or 900.0)
+    )
+    if timeout_s <= 0:
+        return lambda: None
+    ready = threading.Event()
+
+    def watch():
+        if not ready.wait(timeout_s):
+            print(
+                f"backend init did not complete within {timeout_s:.0f}s — "
+                "TPU terminal unreachable/wedged; emitting failure record",
+                file=sys.stderr,
+            )
+            print(json.dumps({
+                "metric": "rollout_steps_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "steps/s",
+                "vs_baseline": 0.0,
+                "error": "backend init timeout",
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+    def done():
+        import jax
+
+        jax.devices()  # blocks until the backend is up (or the watchdog fires)
+        ready.set()
+
+    return done
+
+
 def _setup_cache():
     """Persistent compilation cache: the 251-step rollout programs are large
     (minutes cold); warm runs load from cache in seconds."""
@@ -330,7 +373,9 @@ def main():
 
 
 if __name__ == "__main__":
+    _mark_backend_up = _init_watchdog()
     _setup_cache()
+    _mark_backend_up()
     if len(sys.argv) > 1 and sys.argv[1] == "train":
         setup_compile_effort(default=None)  # full effort for the MFU record
         bench_train()
