@@ -56,6 +56,15 @@ def bench_train():
     # experiment knobs (not part of the recorded protocol)
     if os.environ.get("FLUID_BENCH_DECODER"):
         cfg.decoder_params.type = os.environ["FLUID_BENCH_DECODER"]
+    if os.environ.get("FLUID_BENCH_MOE"):
+        # e.g. FLUID_BENCH_MOE=4x2 — E experts, top-k (expert bank trained
+        # directly; LoRA off since MLP adapters are rejected on MoE)
+        e, k = os.environ["FLUID_BENCH_MOE"].split("x")
+        cfg = cfg.replace(
+            moe={"experts": int(e), "top_k": int(k),
+                 "router": os.environ.get("FLUID_BENCH_MOE_ROUTER", "topk")},
+            use_lora=False,
+        )
     overrides = {}
     if os.environ.get("FLUID_BENCH_ATTN"):
         overrides["attn_impl"] = os.environ["FLUID_BENCH_ATTN"]
