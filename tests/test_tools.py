@@ -166,3 +166,27 @@ def test_kernel_fallback_strict_and_logging(monkeypatch, caplog):
 
     with _pytest.raises(RuntimeError, match="boom"):
         utils.kernel_fallback("other-site", RuntimeError("boom"))
+
+
+def test_config_yaml_surface():
+    """The typed Config parses the shipped YAMLs (same key surface as the
+    reference's configs/training1.yaml) and rejects typos loudly."""
+    import pytest
+
+    from fluid_llm_tpu.config import Config
+
+    cfg = Config.from_yaml("configs/training1.yaml")
+    assert cfg.llm_backbone == "facebook/opt-125m"
+    assert cfg.lora_config.r == 16 and cfg.lora_config.use_dora
+    assert cfg.patch_size == (16, 16) and cfg.resolution == 238
+    assert cfg.loss_weighting == [0.1, 10] and cfg.pressure_weight == 0.1
+
+    moe = Config.from_yaml("configs/moe_cylinder.yaml")
+    assert moe.moe.experts == 4 and moe.moe.top_k == 2
+
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False) as f:
+        f.write("llm_backbone: gpt2\nlerning_rate: 1e-3\n")
+    with pytest.raises(ValueError, match="lerning_rate"):
+        Config.from_yaml(f.name)
