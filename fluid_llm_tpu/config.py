@@ -113,6 +113,10 @@ class ParallelConfig:
     pipe_microbatches: int = 0  # 0: default 2 * pipe_axis
     seq_sharded_acts: bool = False  # Megatron-SP: tokens sharded over "model"
     #   between blocks (activation memory/bandwidth; needs model_axis > 1)
+    ring_attention: bool = False  # context parallelism: K/V rotate around
+    #   the "model" axis via ppermute instead of all-gathering for attention
+    #   (parallel/ring_attention.py; requires seq_sharded_acts) — per-device
+    #   attention memory O((L/n)^2), the scaling path for larger grids
     expert_axis: int = 1  # expert parallelism for MoE backbones (moe.experts)
 
 

@@ -654,6 +654,7 @@ def apply(
     act_sharding=None,
     moe_aux: Optional[list] = None,
     moe_shardings=None,
+    ring_spec=None,
 ) -> jnp.ndarray:
     """Run the backbone over ``inputs_embeds`` (bs, L, d) -> (bs, L, d).
 
@@ -702,6 +703,7 @@ def apply(
         # never silently dropped (e.g. the banded streaming oracle at >=2k
         # tokens under attn_impl=auto/flash)
         cfg = cfg.replace(attn_impl="xla")
+        ring_spec = None  # the ring rebuilds causal+valid internally too
 
     # HF OPT order: project_in first, THEN add positional embeddings (which
     # live at d_model) — ``OPTDecoder.forward``
@@ -767,7 +769,7 @@ def apply(
             rep = cfg.n_heads // cfg.kv_heads
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
-        attn_out = _sdpa(q, k, v, allowed, valid, cfg)
+        attn_out = _sdpa(q, k, v, allowed, valid, cfg, ring_spec=ring_spec)
         attn_out = attn_out.reshape(bs, L, d)
         attn_out = lin(attn_out, "attn", "o")
         x = x + dropout(attn_out, dk0)
@@ -1142,8 +1144,13 @@ def apply_streaming(
     return x, new_cache
 
 
-def _sdpa(q, k, v, allowed, valid, cfg: BackboneConfig):
+def _sdpa(q, k, v, allowed, valid, cfg: BackboneConfig, ring_spec=None):
     """Dispatch attention to a Pallas kernel on TPU or the XLA path.
+
+    ``ring_spec``: optional ``(mesh, axis)`` — route to the ring-attention
+    context-parallel path (tokens sharded over ``axis``, K/V rotating via
+    ppermute; ``parallel/ring_attention.py``).  Exact under the same mask
+    semantics; engaged by ``parallel.ring_attention`` through ``apply``.
 
     Measured crossovers on v5e: above ~2k tokens the tiled flash kernel wins
     (1.7x at 4k, >25x at 8k).  Below, XLA beats flash but still materialises
@@ -1151,6 +1158,11 @@ def _sdpa(q, k, v, allowed, valid, cfg: BackboneConfig):
     reference's 661 tokens — so the single-block ``short_attention`` kernel
     (whole problem VMEM-resident, no logits round-trip) takes that range.
     """
+    if ring_spec is not None:
+        from fluid_llm_tpu.parallel.ring_attention import ring_attention
+
+        mesh, ax = ring_spec
+        return ring_attention(q, k, v, valid, mesh, ax)
     impl = cfg.attn_impl
     on_tpu = jax.default_backend() == "tpu"
     if impl == "auto":

@@ -257,6 +257,17 @@ class FluidLLM:
                 act_sharding = NamedSharding(
                     make_mesh(cfg.parallel), P(("data", "fsdp"), "model")
                 )
+            ring_spec = None
+            if cfg.parallel.ring_attention:
+                if not (cfg.parallel.seq_sharded_acts and cfg.parallel.model_axis > 1):
+                    raise ValueError(
+                        "parallel.ring_attention needs tokens sharded over "
+                        "the model axis — set seq_sharded_acts: true and "
+                        "model_axis > 1"
+                    )
+                from fluid_llm_tpu.parallel.mesh import make_mesh
+
+                ring_spec = (make_mesh(cfg.parallel), "model")
             moe_shardings = None
             if cfg.moe.experts > 0 and cfg.parallel.expert_axis > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -275,7 +286,7 @@ class FluidLLM:
                 params["backbone"], self.backbone_cfg, h, token_valid,
                 lora=params.get("lora"), lora_cfg=cfg.lora_config, train=train, rng=r_bb,
                 act_sharding=act_sharding, moe_aux=moe_aux,
-                moe_shardings=moe_shardings,
+                moe_shardings=moe_shardings, ring_spec=ring_spec,
             )
         if cfg.use_bos_token:
             out = out[:, 1:]
