@@ -377,7 +377,9 @@ def materialize_w(p, dtype):
             from fluid_llm_tpu.ops.quant import dequantize_weight_nf4
 
             return dequantize_weight_nf4(w, dtype)
-        return (w["q"].astype(jnp.float32) * w["scale"]).astype(dtype)
+        # int8: per-output-column scales; [..., None, :] broadcasts over both
+        # 2-D linears and stacked (E, in, out) MoE expert banks
+        return (w["q"].astype(jnp.float32) * w["scale"][..., None, :]).astype(dtype)
     return w.astype(dtype)
 
 

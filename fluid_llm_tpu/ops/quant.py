@@ -42,15 +42,17 @@ NF4_CHUNK = 256  # absmax values per double-quantization chunk
 
 
 def quantize_weight(w: jnp.ndarray) -> Params:
-    """(in, out) float -> {'q': int8 (in, out), 'scale': (out,) f32}."""
-    absmax = jnp.max(jnp.abs(w), axis=0)
+    """(..., in, out) float -> {'q': int8 (..., in, out), 'scale': (..., out)
+    f32} — per-output-column symmetric absmax.  Leading axes (e.g. the MoE
+    expert stack's E) quantize independently per slice."""
+    absmax = jnp.max(jnp.abs(w), axis=-2)
     scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
-    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.round(w / scale[..., None, :]), -127, 127).astype(jnp.int8)
     return {"q": q, "scale": scale.astype(jnp.float32)}
 
 
 def dequantize_weight(qp: Params, dtype=jnp.bfloat16) -> jnp.ndarray:
-    return (qp["q"].astype(jnp.float32) * qp["scale"]).astype(dtype)
+    return (qp["q"].astype(jnp.float32) * qp["scale"][..., None, :]).astype(dtype)
 
 
 def quantize_weight_nf4(w: jnp.ndarray) -> Params:
@@ -135,8 +137,17 @@ def quantize_backbone(backbone_params: Params, mode: str = "nf4") -> Params:
             out = dict(node)
             out["w"] = quant(node["w"])
             return out
+        if _is_linear_leaf(node) and node["w"].ndim == 3:
+            # stacked MoE expert bank (E, in, out): int8 per expert slice
+            # (per-output-column scales generalise; nf4's flat block packing
+            # does not — and the expert bank is exactly where the bytes are)
+            out = dict(node)
+            out["w"] = quantize_weight(node["w"])
+            return out
         if isinstance(node, dict):
-            return {k: walk(v) for k, v in node.items()}
+            # the MoE router stays float: routing computes in f32 (top-k
+            # stability) and its (d, E) matrix is negligible
+            return {k: (v if k == "router" else walk(v)) for k, v in node.items()}
         if isinstance(node, list):
             return [walk(v) for v in node]
         return node

@@ -216,11 +216,23 @@ def backbone_param_specs(backbone_params: dict, fsdp: bool, tp: bool,
 
             def expert_spec(kind, p):
                 base = _fit(linear_spec(kind), p)
-                # quantized storage comes back as a nested dict — replicate
-                # it (the packed bytes are tiny) instead of prefixing specs
+                # int8-quantized expert banks are NOT tiny (they ARE the
+                # expert weights): shard the stacked {'q': (E, in, out),
+                # 'scale': (E, out)} storage's leading axis over "expert"
+                # like the float bank; other nested dicts replicate
+                def quant_spec(sub):
+                    # _fit returns spec dicts: int8 -> {'q': P(2d), 'scale':
+                    # P(out)}; prefix each with the expert axis (the stacked
+                    # storage carries a leading E dim).  nf4 'codes' subtrees
+                    # stay replicated (3-D banks quantize as int8 only).
+                    if isinstance(sub, dict) and "q" in sub and all(
+                        isinstance(x, P) for x in sub.values()
+                    ):
+                        return {k2: P(e, *tuple(v2)) for k2, v2 in sub.items()}
+                    return jax.tree_util.tree_map(lambda _: P(), sub)
+
                 return {
-                    k: P(e, *tuple(v)) if isinstance(v, P)
-                    else jax.tree_util.tree_map(lambda _: P(), v)
+                    k: P(e, *tuple(v)) if isinstance(v, P) else quant_spec(v)
                     for k, v in base.items()
                 }
 

@@ -135,3 +135,56 @@ def test_quantized_backbone_shards_over_mesh():
     sharded4 = shard_params(params4, mesh, par)
     out4 = bb.apply(sharded4["backbone"], cfg, x)
     assert np.isfinite(np.asarray(out4)).all()
+
+
+def test_int8_quantizes_stacked_expert_banks():
+    """(E, in, out) expert stacks quantize per expert slice (int8, per-
+    output-column scales) and round-trip within int8 error; 2-D behaviour
+    is unchanged by the generalisation."""
+    from fluid_llm_tpu.ops.quant import dequantize_weight, quantize_weight
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 8), jnp.float32) * 0.1
+    qp = quantize_weight(w)
+    assert qp["q"].shape == (4, 16, 8) and qp["scale"].shape == (4, 8)
+    deq = np.asarray(dequantize_weight(qp, jnp.float32))
+    np.testing.assert_allclose(deq, np.asarray(w), atol=float(np.abs(w).max()) / 127)
+    # each expert's scales equal quantizing that slice alone
+    solo = quantize_weight(w[2])
+    np.testing.assert_allclose(np.asarray(qp["scale"][2]), np.asarray(solo["scale"]))
+
+
+def test_moe_int8_forward_close_and_ep_shardable():
+    """MoE backbone with int8-quantized expert banks: forward close to the
+    float model, and the quantized storage shards its leading axis over the
+    expert mesh axis."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_moe import moe_setup
+
+    from fluid_llm_tpu.config import ParallelConfig
+    from fluid_llm_tpu.ops.quant import quantize_backbone
+    from fluid_llm_tpu.parallel.mesh import make_mesh, param_specs, shard_params
+
+    cfg, ds, props, model, batch = moe_setup()
+    params = model.init(jax.random.PRNGKey(0))
+    states, _, _, _, pos = batch
+    ref = model.forward(params, states, pos)
+
+    qparams = dict(params, backbone=quantize_backbone(params["backbone"], "int8"))
+    ex = qparams["backbone"]["layers"][0]["mlp"]["experts"]["fc1"]["w"]
+    assert ex["q"].dtype == jnp.int8 and ex["q"].ndim == 3
+    out = model.forward(qparams, states, pos)
+    scale = float(np.abs(np.asarray(ref)).max())
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 0.05 * max(scale, 1.0)
+
+    par = ParallelConfig(expert_axis=2)
+    specs = param_specs(qparams, par)
+    wspec = specs["backbone"]["layers"][0]["mlp"]["experts"]["fc1"]["w"]
+    assert wspec["q"][0] == "expert" and wspec["scale"][0] == "expert"
+    mesh = make_mesh(par)
+    sharded = shard_params(qparams, mesh, par)
+    out_s = model.forward(sharded, states, pos)
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(out), atol=1e-5, rtol=1e-5
+    )
