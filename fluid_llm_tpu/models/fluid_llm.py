@@ -268,6 +268,19 @@ class FluidLLM:
                 from fluid_llm_tpu.parallel.mesh import make_mesh
 
                 ring_spec = (make_mesh(cfg.parallel), "model")
+            # the ring shards tokens evenly: pad to a multiple of the axis
+            # with INVALID tokens (masked keys, outputs trimmed below —
+            # exact, same argument as FLUID_PAD_TOKENS; the reference
+            # window is 661 tokens, indivisible by any axis)
+            ring_pad = 0
+            if ring_spec is not None:
+                L_tok = h.shape[1]
+                ring_pad = (-L_tok) % cfg.parallel.model_axis
+                if ring_pad:
+                    h = jnp.pad(h, ((0, 0), (0, ring_pad), (0, 0)))
+                    token_valid = jnp.pad(
+                        token_valid, ((0, 0), (0, ring_pad))
+                    )
             moe_shardings = None
             if cfg.moe.experts > 0 and cfg.parallel.expert_axis > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -288,6 +301,8 @@ class FluidLLM:
                 act_sharding=act_sharding, moe_aux=moe_aux,
                 moe_shardings=moe_shardings, ring_spec=ring_spec,
             )
+            if ring_pad:
+                out = out[:, :-ring_pad]
         if cfg.use_bos_token:
             out = out[:, 1:]
 

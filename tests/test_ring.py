@@ -116,6 +116,36 @@ def test_ring_train_step_matches_dense():
     )
 
 
+def test_ring_train_step_pads_odd_tokens():
+    """The model pads indivisible token counts with masked tokens before the
+    ring (the reference window is 661 tokens): BOS + see-init on -> 81
+    tokens, padded to 84 over model=4 — still equal to the dense step."""
+    from test_model import tiny_setup
+
+    cfg, ds, props, model, batch = tiny_setup(seq_len=4, decoder="MLP")
+    trainer = Trainer(model)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch4 = tuple(np.concatenate([np.asarray(x)] * 2, axis=0) for x in batch)
+    _, _, m0 = trainer.train_step_autoreg(
+        state.trainable, state.frozen, state.opt_state, batch4, jax.random.PRNGKey(1)
+    )
+
+    par = ParallelConfig(model_axis=4, seq_sharded_acts=True, ring_attention=True)
+    model_r = model.__class__(
+        cfg=cfg.replace(parallel=par), ds_props=model.ds_props,
+        backbone_cfg=model.backbone_cfg,
+    )
+    mesh = make_mesh(par)
+    trainer_r = Trainer(model_r)
+    full = shard_params(model_r.init(jax.random.PRNGKey(0)), mesh, par)
+    tr, fr = partition(full, model_r.trainable_mask(full))
+    _, _, m1 = trainer_r.train_step_autoreg(
+        tr, fr, trainer_r.opt.init(tr), shard_batch(batch4, mesh),
+        jax.random.PRNGKey(1),
+    )
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=2e-5)
+
+
 def test_ring_requires_seq_sharding():
     from test_model import tiny_setup
 
