@@ -51,7 +51,11 @@ def ring_attention(q, k, v, valid, mesh: Mesh, axis: str = "model"):
     bs, L, H, hd = q.shape
     if L % n != 0:
         raise ValueError(f"token count {L} not divisible by {axis}={n}")
-    batch = tuple(a for a in ("data", "fsdp") if a in mesh.axis_names)
+    # batch sharding follows parallel/mesh.py::batch_sharding — including
+    # the "expert" axis when present (DP+EP meshes shard batch over it too)
+    batch = tuple(
+        a for a in ("data", "fsdp", "expert") if a in mesh.axis_names
+    )
     bspec = batch if batch else None
     spec4 = P(bspec, axis, None, None)
     spec2 = P(bspec, axis)
