@@ -88,6 +88,8 @@ def build_model_and_state(cfg: Config, ds_props, rng):
     # pretrained import when the HF cache has the weights (``model.py:46-55``)
     loaded = load_pretrained(cfg.llm_backbone, cfg.llm_layers)
     if loaded is not None:
+        # HF import returns the per-layer LIST layout; re-stack below if the
+        # template (model.init) used the stacked pipeline layout
         hf_params, embed_tokens, bcfg = loaded
         params["backbone"] = jax.tree_util.tree_map(jax.numpy.asarray, hf_params)
         if cfg.use_bos_token:
@@ -99,10 +101,27 @@ def build_model_and_state(cfg: Config, ds_props, rng):
     # quantized backbone storage (reference's 4-bit loading flag,
     # ``model.py:51``): QLoRA-style packed nf4 — only valid for a frozen base
     if cfg.llm_4bit_loading and (cfg.use_lora or cfg.freeze_llm):
+        from fluid_llm_tpu.models import backbone as bb
         from fluid_llm_tpu.ops.quant import quantize_backbone
 
-        params["backbone"] = quantize_backbone(params["backbone"], mode="nf4")
+        params["backbone"] = quantize_backbone(
+            bb.unstack_layers(params["backbone"]), mode="nf4"
+        )
         logger.info("Quantized backbone weights to packed nf4 storage")
+
+    if cfg.parallel.pipe_axis > 1:
+        from fluid_llm_tpu.models import backbone as bb
+
+        # pipeline stages slice the STACKED leaves; HF import / quantization
+        # above leave the list layout
+        params["backbone"] = bb.stack_layers(params["backbone"])
+        if isinstance(params["backbone"]["layers"], list):
+            raise ValueError(
+                "pipeline parallelism needs homogeneous stackable layers — "
+                "the loaded/quantized backbone could not be stacked "
+                "(quantized storage with mixed shapes does not stack; "
+                "serve quantized models without pipe_axis)"
+            )
 
     state, mesh = finish_state(params, model, trainer, cfg)
     logger.info(

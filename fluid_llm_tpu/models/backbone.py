@@ -327,6 +327,22 @@ def stack_layers(params: Params) -> Params:
     return dict(params, layers=stacked)
 
 
+def unstack_layers(params: Params) -> Params:
+    """Inverse of :func:`stack_layers`: split the leading ``n_layers`` axis
+    back into a per-layer list (no-op on the list layout).  Needed by the
+    inference-time weight transforms (``pack_qkv_params``,
+    ``cast_matmul_params``, quantization), which operate on the list layout
+    — e.g. when preparing a pipeline-trained checkpoint for serving."""
+    layers = params["layers"]
+    if isinstance(layers, list):
+        return params
+    n = jax.tree_util.tree_leaves(layers)[0].shape[0]
+    out = [
+        jax.tree_util.tree_map(lambda x: x[i], layers) for i in range(n)
+    ]
+    return dict(params, layers=out)
+
+
 def pack_qkv_params(params: Params) -> Params:
     """Inference-time weight transform: fuse each layer's q/k/v projections
     into one ``(d, d + 2*kv_dim)`` matmul.
@@ -575,39 +591,49 @@ def _index_tree(tree, li):
     )
 
 
-def _stacked_linear(h, p, li):
+def _stacked_linear(h, p, li, kernel_ok=True):
     """Linear against stacked ``(n_layers, K, N)`` weights at traced ``li``.
 
     Routes to the Pallas indexed-linear kernel on TPU (reads only layer
     ``li``'s bytes from the stacked HBM buffer — no dynamic-slice copy);
     quantised or non-lane-aligned leaves fall back to slice + ``_linear``.
+    ``kernel_ok=False`` forces the XLA dynamic-slice formulation — required
+    on GRADIENT-BEARING paths (the kernel is forward-only by design; the
+    pipelined training blocks pass False).
     """
     if isinstance(p.get("w"), dict):
         return _linear(h, _index_tree(p, li))
-    from fluid_llm_tpu.ops.indexed_linear import indexed_linear
+    from fluid_llm_tpu.ops.indexed_linear import _xla_indexed_linear, indexed_linear
 
+    if not kernel_ok:
+        lead = h.shape[:-1]
+        out = _xla_indexed_linear(h.reshape(-1, h.shape[-1]), p["w"], p.get("b"), li)
+        return out.reshape(*lead, p["w"].shape[-1])
     return indexed_linear(h, p["w"], p.get("b"), li)
 
 
 def _block_stacked(x, lys, li, cfg: BackboneConfig, positions, allowed, valid):
     """One transformer block over stacked layer params at traced layer ``li``.
 
-    Inference-only twin of ``block`` inside ``apply`` (no LoRA, no dropout):
-    the scanned-layer path runs this under ``lax.scan`` so the rollout
-    program body holds ONE block instead of ``n_layers``.
+    LoRA- and dropout-free twin of ``block`` inside ``apply``: the pipeline
+    runs (and DIFFERENTIATES) this under its tick scan, so every stacked
+    linear uses the XLA dynamic-slice formulation — the Pallas
+    indexed-linear kernel is forward-only (serving scans use it via
+    ``_stacked_linear``'s default).
     """
+    _sl = partial(_stacked_linear, kernel_ok=False)
     bs, L = x.shape[:2]
     d = cfg.d_model
     kv_dim = cfg.kv_heads * cfg.head_dim
     h = _norm(x, _index_tree(lys["ln1"], li), cfg) if cfg.pre_ln else x
     attn = lys["attn"]
     if "qkv" in attn:
-        qkv = _stacked_linear(h, attn["qkv"], li)
+        qkv = _sl(h, attn["qkv"], li)
         q, k, v = qkv[..., :d], qkv[..., d:d + kv_dim], qkv[..., d + kv_dim:]
     else:
-        q = _stacked_linear(h, attn["q"], li)
-        k = _stacked_linear(h, attn["k"], li)
-        v = _stacked_linear(h, attn["v"], li)
+        q = _sl(h, attn["q"], li)
+        k = _sl(h, attn["k"], li)
+        v = _sl(h, attn["v"], li)
     q = q.reshape(bs, L, cfg.n_heads, cfg.head_dim)
     k = k.reshape(bs, L, cfg.kv_heads, cfg.head_dim)
     v = v.reshape(bs, L, cfg.kv_heads, cfg.head_dim)
@@ -618,21 +644,21 @@ def _block_stacked(x, lys, li, cfg: BackboneConfig, positions, allowed, valid):
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
     attn_out = _sdpa(q, k, v, allowed, valid, cfg).reshape(bs, L, d)
-    x = x + _stacked_linear(attn_out, attn["o"], li)
+    x = x + _sl(attn_out, attn["o"], li)
     if not cfg.pre_ln:
         x = _norm(x, _index_tree(lys["ln1"], li), cfg)
 
     h = _norm(x, _index_tree(lys["ln2"], li), cfg) if cfg.pre_ln else x
     mlp = lys["mlp"]
     if cfg.family == "llama":
-        h = _stacked_linear(
-            jax.nn.silu(_stacked_linear(h, mlp["gate"], li))
-            * _stacked_linear(h, mlp["up"], li),
+        h = _sl(
+            jax.nn.silu(_sl(h, mlp["gate"], li))
+            * _sl(h, mlp["up"], li),
             mlp["down"], li,
         )
     else:
-        h = _stacked_linear(
-            _act(_stacked_linear(h, mlp["fc1"], li), cfg.act), mlp["fc2"], li
+        h = _sl(
+            _act(_sl(h, mlp["fc1"], li), cfg.act), mlp["fc2"], li
         )
     x = x + h
     if not cfg.pre_ln:
@@ -1005,18 +1031,11 @@ def apply_streaming(
     ck_all, cv_all = cache["k"], cache["v"]
 
     def layer_step(x, ck_all, cv_all, li, lp):
-        # ``lp`` is the per-layer param dict on the unrolled (list) path and
-        # None on the stacked path, where linears go through the Pallas
-        # indexed-linear kernel against the closed-over stacked buffers
-        if lp is None:
-            lys = params["layers"]
-            lin = lambda h, g, n: _stacked_linear(h, lys[g][n], li)
-            ln = lambda n: _index_tree(lys[n], li)
-            attn_names = lys["attn"]
-        else:
-            lin = lambda h, g, n: _linear(h, lp[g][n])
-            ln = lambda n: lp[n]
-            attn_names = lp["attn"]
+        # unrolled (list-layout) path only — the stacked layout runs the
+        # separate lax.scan ``body`` below
+        lin = lambda h, g, n: _linear(h, lp[g][n])
+        ln = lambda n: lp[n]
+        attn_names = lp["attn"]
         h = _norm(x, ln("ln1"), cfg) if cfg.pre_ln else x
         if "qkv" in attn_names:
             qkv = lin(h, "attn", "qkv")
@@ -1176,8 +1195,16 @@ def _sdpa(q, k, v, allowed, valid, cfg: BackboneConfig, ring_spec=None):
         impl = "flash" if (on_tpu and q.shape[1] >= 2048) else "xla"
     if impl == "short":
         try:
-            from fluid_llm_tpu.ops.short_attention import short_attention
+            from fluid_llm_tpu.ops.short_attention import short_attention, supported
 
+            # the VMEM budget check must run BEFORE pallas_call: an
+            # oversized program traces fine inside this try (Mosaic only
+            # fails later at compile time, past any except)
+            if not supported(q.shape, q.dtype):
+                raise ValueError(
+                    f"short_attention unsupported at {q.shape} "
+                    "(token/VMEM/head-dim limits)"
+                )
             return short_attention(q, k, v, valid)
         except Exception as e:
             from fluid_llm_tpu.utils import kernel_fallback

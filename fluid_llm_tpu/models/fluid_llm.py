@@ -116,6 +116,10 @@ class FluidLLM:
         import os
 
         p = dict(params)
+        # pipeline-trained checkpoints carry the stacked layout; the weight
+        # transforms below operate per layer — unstack first (the scanned
+        # serving layout re-stacks at the end)
+        p["backbone"] = bb.unstack_layers(p["backbone"])
         if "lora" in p:
             from fluid_llm_tpu.models.lora import merge_lora
 

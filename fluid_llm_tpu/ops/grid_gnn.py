@@ -19,7 +19,6 @@ Semantics match ``GATv2Conv`` (Brody et al. 2022; torch-geometric defaults:
 
 from __future__ import annotations
 
-import os
 from typing import Any, Optional
 
 import jax

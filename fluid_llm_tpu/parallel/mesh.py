@@ -325,6 +325,25 @@ def param_specs(params: dict, parallel: ParallelConfig) -> dict:
 
 
 def shard_params(params: dict, mesh: Mesh, parallel: ParallelConfig) -> dict:
+    # features that rebuild the mesh INSIDE the forward (pipeline shard_map,
+    # seq-sharded/ring constraints, MoE expert shardings) call
+    # make_mesh(parallel) over ALL devices — a params mesh over a device
+    # subset would collide with it inside jit.  Fail here, at placement
+    # time, with an actionable message instead.
+    rebuilds = (
+        getattr(parallel, "pipe_axis", 1) > 1
+        or getattr(parallel, "seq_sharded_acts", False)
+        or getattr(parallel, "ring_attention", False)
+        or getattr(parallel, "expert_axis", 1) > 1
+    )
+    if rebuilds and mesh.devices.size != len(jax.devices()):
+        raise ValueError(
+            f"mesh covers {mesh.devices.size} of {len(jax.devices())} "
+            "devices, but pipe/seq_sharded_acts/ring/expert features "
+            "rebuild the mesh over ALL devices inside the forward — "
+            "use every device (or trim jax.devices() via "
+            "xla_force_host_platform_device_count)"
+        )
     specs = param_specs(params, parallel)
     return jax.tree_util.tree_map(
         lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
