@@ -150,6 +150,12 @@ def main(argv=None):
     if args.distributed:
         kw = {}
         if args.coordinator_address is not None:
+            if args.num_processes is None or args.process_id is None:
+                parser.error(
+                    "--coordinator_address requires --num_processes and "
+                    "--process_id (all three together; omit all three on "
+                    "TPU pods, which auto-detect the coordinator)"
+                )
             kw = dict(
                 coordinator_address=args.coordinator_address,
                 num_processes=args.num_processes,

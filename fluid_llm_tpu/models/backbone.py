@@ -418,7 +418,8 @@ def _act(x, name):
     raise ValueError(name)
 
 
-def _moe_mlp(h, p, cfg: BackboneConfig, shardings=None):
+def _moe_mlp(h, p, cfg: BackboneConfig, shardings=None, valid=None,
+             capacity_tokens=None):
     """Top-k routed mixture-of-experts MLP, dense-dispatch formulation.
 
     Static shapes throughout (the TPU requirement): routing produces
@@ -444,13 +445,29 @@ def _moe_mlp(h, p, cfg: BackboneConfig, shardings=None):
     """
     bs, L, d = h.shape
     E, top_k = cfg.moe_experts, cfg.moe_top_k
-    C = max(1, math.ceil(cfg.moe_capacity_factor * top_k * L / E))
+    # ``capacity_tokens``: static pre-padding token count — padding must not
+    # inflate C, or padded and unpadded runs drop different tokens at tight
+    # capacity (exactness contract of ring/FLUID_PAD_TOKENS padding)
+    C = max(1, math.ceil(
+        cfg.moe_capacity_factor * top_k * (capacity_tokens or L) / E
+    ))
 
     # routing in f32 (softmax/cumsum precision)
     logits = jnp.einsum(
         "bld,de->ble", h.astype(jnp.float32), p["router"]["w"].astype(jnp.float32)
     )
     probs = jax.nn.softmax(logits, axis=-1)
+    # INVALID tokens (front-of-window slots, FLUID_PAD_TOKENS / ring padding)
+    # must not route: they would consume expert capacity ahead of real
+    # tokens (topk cumsum runs in token order) or displace them from an
+    # expert's top-C (expert_choice), making real tokens' outputs depend on
+    # padding — breaking the padding-exactness contract — and polluting the
+    # balance-loss statistics.  Zeroing their probs removes them from slot
+    # assignment/selection and zeroes their gates (outputs unused anyway).
+    valid_f = None
+    if valid is not None:
+        valid_f = valid.astype(jnp.float32)[:, :, None]  # (bs, L, 1)
+        probs = probs * valid_f
 
     if cfg.moe_router == "expert_choice":
         # experts pick tokens: top-C of each expert's affinity column
@@ -467,6 +484,8 @@ def _moe_mlp(h, p, cfg: BackboneConfig, shardings=None):
         for _ in range(top_k):
             idx = jnp.argmax(remaining, axis=-1)
             oh = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # (bs, L, E)
+            if valid_f is not None:
+                oh = oh * valid_f  # invalid tokens take no capacity slot
             sel_oh.append(oh)
             sel_p.append(jnp.sum(probs * oh, axis=-1))  # (bs, L)
             remaining = remaining * (1.0 - oh)
@@ -521,8 +540,13 @@ def _moe_mlp(h, p, cfg: BackboneConfig, shardings=None):
         out = jax.lax.with_sharding_constraint(out, shardings[1])
 
     if cfg.moe_router != "expert_choice":
-        frac = jnp.mean(sel_oh[0], axis=1)  # fraction of tokens 1st-routed per expert
-        pbar = jnp.mean(probs, axis=1)
+        if valid_f is None:
+            frac = jnp.mean(sel_oh[0], axis=1)  # fraction 1st-routed per expert
+            pbar = jnp.mean(probs, axis=1)
+        else:
+            n_valid = jnp.maximum(jnp.sum(valid_f, axis=1), 1.0)  # (bs, 1)
+            frac = jnp.sum(sel_oh[0], axis=1) / n_valid
+            pbar = jnp.sum(probs, axis=1) / n_valid
         aux = jnp.mean(E * jnp.sum(frac * pbar, axis=-1))
     return out.astype(h.dtype), aux
 
@@ -598,8 +622,11 @@ def _stacked_linear(h, p, li, kernel_ok=True):
     ``li``'s bytes from the stacked HBM buffer — no dynamic-slice copy);
     quantised or non-lane-aligned leaves fall back to slice + ``_linear``.
     ``kernel_ok=False`` forces the XLA dynamic-slice formulation — required
-    on GRADIENT-BEARING paths (the kernel is forward-only by design; the
-    pipelined training blocks pass False).
+    on GRADIENT-BEARING paths (the kernel is forward-only by design).
+    ``_block_stacked`` always passes False: gradients can reach it both
+    through the pipeline and through ``apply``'s stacked scan (a notf-mode
+    rollout over a pipeline model differentiates the same code).  Only the
+    streaming decode scan — inference by construction — keeps the kernel.
     """
     if isinstance(p.get("w"), dict):
         return _linear(h, _index_tree(p, li))
@@ -615,11 +642,11 @@ def _stacked_linear(h, p, li, kernel_ok=True):
 def _block_stacked(x, lys, li, cfg: BackboneConfig, positions, allowed, valid):
     """One transformer block over stacked layer params at traced layer ``li``.
 
-    LoRA- and dropout-free twin of ``block`` inside ``apply``: the pipeline
-    runs (and DIFFERENTIATES) this under its tick scan, so every stacked
-    linear uses the XLA dynamic-slice formulation — the Pallas
-    indexed-linear kernel is forward-only (serving scans use it via
-    ``_stacked_linear``'s default).
+    LoRA- and dropout-free twin of ``block`` inside ``apply``: both the
+    pipeline's tick scan and ``apply``'s stacked scan run (and may
+    DIFFERENTIATE) this, so every stacked linear uses the XLA dynamic-slice
+    formulation — the Pallas indexed-linear kernel is forward-only and is
+    used by the streaming decode scan exclusively.
     """
     _sl = partial(_stacked_linear, kernel_ok=False)
     bs, L = x.shape[:2]
@@ -682,6 +709,7 @@ def apply(
     act_sharding=None,
     moe_aux: Optional[list] = None,
     moe_shardings=None,
+    moe_capacity_tokens: Optional[int] = None,
     ring_spec=None,
 ) -> jnp.ndarray:
     """Run the backbone over ``inputs_embeds`` (bs, L, d) -> (bs, L, d).
@@ -807,7 +835,8 @@ def apply(
         h = _norm(x, layer_params["ln2"], cfg) if cfg.pre_ln else x
         aux = jnp.zeros((), jnp.float32)
         if "router" in layer_params["mlp"]:
-            h, aux = _moe_mlp(h, layer_params["mlp"], cfg, shardings=moe_shardings)
+            h, aux = _moe_mlp(h, layer_params["mlp"], cfg, shardings=moe_shardings,
+                              valid=valid, capacity_tokens=moe_capacity_tokens)
         elif cfg.family == "llama":
             h = lin(jax.nn.silu(lin(h, "mlp", "gate")) * lin(h, "mlp", "up"), "mlp", "down")
         else:

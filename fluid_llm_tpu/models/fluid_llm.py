@@ -183,6 +183,22 @@ class FluidLLM:
 
     # -- forward ------------------------------------------------------------
 
+    def _moe_shardings(self):
+        """EP sharding constraints for ``_moe_mlp`` (see backbone.py) — built
+        whenever expert parallelism is configured; None otherwise."""
+        cfg = self.cfg
+        if not (cfg.moe.experts > 0 and cfg.parallel.expert_axis > 1):
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from fluid_llm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg.parallel)
+        return (
+            NamedSharding(mesh, P("expert")),
+            NamedSharding(mesh, P(("data", "fsdp", "expert"))),
+        )
+
     def forward(
         self,
         params: Params,
@@ -277,33 +293,28 @@ class FluidLLM:
             # exact, same argument as FLUID_PAD_TOKENS; the reference
             # window is 661 tokens, indivisible by any axis)
             ring_pad = 0
+            moe_capacity_tokens = None
             if ring_spec is not None:
                 L_tok = h.shape[1]
                 ring_pad = (-L_tok) % cfg.parallel.model_axis
+                if ring_pad and cfg.moe.experts > 0:
+                    # expert capacity stays based on the real token count
+                    moe_capacity_tokens = L_tok
                 if ring_pad:
                     h = jnp.pad(h, ((0, 0), (0, ring_pad), (0, 0)))
                     token_valid = jnp.pad(
                         token_valid, ((0, 0), (0, ring_pad))
                     )
-            moe_shardings = None
-            if cfg.moe.experts > 0 and cfg.parallel.expert_axis > 1:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                from fluid_llm_tpu.parallel.mesh import make_mesh
-
-                mesh = make_mesh(cfg.parallel)
-                # [0]: per-expert tensors (E, bs, C, d) live on their expert's
-                # devices (the dispatch einsum becomes the all-to-all);
-                # [1]: combined (bs, L, d) returns to the batch sharding
-                moe_shardings = (
-                    NamedSharding(mesh, P("expert")),
-                    NamedSharding(mesh, P(("data", "fsdp", "expert"))),
-                )
+            # [0]: per-expert tensors (E, bs, C, d) live on their expert's
+            # devices (the dispatch einsum becomes the all-to-all);
+            # [1]: combined (bs, L, d) returns to the batch sharding
+            moe_shardings = self._moe_shardings()
             out = bb.apply(
                 params["backbone"], self.backbone_cfg, h, token_valid,
                 lora=params.get("lora"), lora_cfg=cfg.lora_config, train=train, rng=r_bb,
                 act_sharding=act_sharding, moe_aux=moe_aux,
                 moe_shardings=moe_shardings, ring_spec=ring_spec,
+                moe_capacity_tokens=moe_capacity_tokens,
             )
             if ring_pad:
                 out = out[:, :-ring_pad]
@@ -452,10 +463,12 @@ class FluidLLM:
         # tokens' routing), so the last block must see the full window —
         # run it dense and slice afterwards.
         if self.backbone_cfg.moe_experts > 0:
+            # notf/gen training rollouts run THROUGH this path — EP-sharded
+            # MoE needs the expert constraints here just like forward()
             out = bb.apply(
                 params["backbone"], self.backbone_cfg, h, token_valid,
                 lora=params.get("lora"), lora_cfg=cfg.lora_config,
-                moe_aux=moe_aux,
+                moe_aux=moe_aux, moe_shardings=self._moe_shardings(),
             )
             tok_start = out_idx * n_patch + (1 if cfg.use_bos_token else 0)
             out = jax.lax.dynamic_slice_in_dim(out, tok_start, n_patch, axis=1)

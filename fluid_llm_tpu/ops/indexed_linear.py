@@ -15,8 +15,11 @@ PrefetchScalarGridSpec.)  No reference counterpart: the reference's
 serving loop re-dispatches per-layer torch gemms from python
 (``/root/reference/src/models/model.py:168-216``).
 
-Forward-only by design (inference paths); training keeps per-layer
-parameter leaves where XLA's unrolled layout is already optimal.
+Forward-only by design: consumed by the STREAMING decode scan (inference
+by construction).  The windowed stacked scan and the pipeline blocks use
+the XLA dynamic-slice formulation instead — gradients may flow through
+them (notf-mode rollouts differentiate the same code), and
+``pallas_call`` has no AD rule.
 """
 
 from __future__ import annotations
@@ -97,8 +100,15 @@ def supported(x, w_stacked) -> bool:
         return False
     m, k = x.shape[-2:]
     nl, k2, n = w_stacked.shape
-    # lane-aligned contraction/output dims; anything else falls back
-    return k % 128 == 0 and n % 128 == 0 and x.dtype == w_stacked.dtype
+    if not (k % 128 == 0 and n % 128 == 0 and x.dtype == w_stacked.dtype):
+        # lane-aligned contraction/output dims; anything else falls back
+        return False
+    # the x block is not tiled over the grid: its (m, k) working set must
+    # fit the VMEM budget even at the smallest N-block, or Mosaic fails at
+    # compile time PAST any python-level fallback (e.g. batched serving at
+    # m = bs*tokens with 4096-wide models)
+    itemsize = x.dtype.itemsize
+    return (m * k + k * 128 + m * 128) * itemsize <= 10 * 1024 * 1024
 
 
 def indexed_linear(x, w_stacked, b_stacked, li, interpret: bool = False):

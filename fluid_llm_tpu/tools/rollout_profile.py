@@ -91,7 +91,7 @@ def attr():
     results["base"], _ = _timed_roll(model, batch, "base (12 layers, MLPGNN dec)")
 
     real = backbone._sdpa
-    backbone._sdpa = lambda q, k, v, allowed, valid, cfg: v
+    backbone._sdpa = lambda q, k, v, allowed, valid, cfg, **kw: v
     try:
         model, batch = _build()
         results["noattn"], _ = _timed_roll(model, batch, "no-attention (sdpa->v)")

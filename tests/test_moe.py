@@ -148,6 +148,38 @@ def test_expert_choice_trains_end_to_end():
     )
 
 
+@pytest.mark.parametrize("router", ["topk", "expert_choice"])
+def test_invalid_tokens_do_not_route(router):
+    """Padding exactness at TIGHT capacity: appending masked tokens must not
+    change valid tokens' outputs — invalid tokens must neither consume
+    expert capacity (topk cumsum runs in token order) nor displace real
+    tokens from an expert's top-C (expert_choice)."""
+    cfg = bb.BackboneConfig(
+        family="opt", n_layers=1, d_model=8, n_heads=2, d_ff=16,
+        moe_experts=2, moe_top_k=1, moe_capacity_factor=1.0,
+        moe_router=router, dropout=0.0,
+    )
+    p = bb._moe_init(jax.random.PRNGKey(0), cfg)
+    h = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 8), jnp.float32)
+
+    out_ref, _ = bb._moe_mlp(h, p, cfg, valid=jnp.ones((2, 6), bool))
+
+    # pad with garbage tokens marked invalid — at the FRONT, like the
+    # rollout window's empty slots (worst case for the cumsum ordering)
+    pad = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 8), jnp.float32) * 3
+    h_pad = jnp.concatenate([pad, h], axis=1)
+    valid = jnp.asarray(np.arange(11)[None, :] >= 5).repeat(2, 0)
+    # capacity stays based on the real token count (as the model threads it
+    # for its padding paths) — otherwise padding would inflate C
+    out_pad, aux_pad = bb._moe_mlp(h_pad, p, cfg, valid=valid, capacity_tokens=6)
+
+    np.testing.assert_allclose(
+        np.asarray(out_pad[:, 5:]), np.asarray(out_ref), atol=1e-5,
+        err_msg=f"router={router}",
+    )
+    assert np.isfinite(float(aux_pad))
+
+
 def test_capacity_drops_tokens():
     """Zero router logits send every token to expert 0; with capacity 1 only
     the first token per sequence gets an MLP contribution — the rest pass
