@@ -171,5 +171,20 @@ def train_run(
             path = ckpt.save_checkpoint(save_path, epoch, state, cfg)
             logger.info("Saved checkpoint at epoch %d to %s", epoch, path)
 
+    # the in-loop cadence only fires at multiples of ``save_model_each``, so
+    # a run whose length is not a multiple would silently lose its final
+    # epochs (the reference has the same quirk, ``src/main.py:133-143``);
+    # always persist the final state unless the last epoch just saved
+    if (
+        cfg.save_on
+        and save_path
+        and cfg.save_model_each > 0
+        and (cfg.num_epochs - 1) % cfg.save_model_each != 0
+    ):
+        state.epoch = start_ep + cfg.num_epochs - 1  # in-loop convention:
+        # the epoch field records the just-completed epoch, matching the
+        # step label so resume re-enters at the same point either way
+        path = ckpt.save_checkpoint(save_path, state.epoch, state, cfg)
+        logger.info("Saved final checkpoint at epoch %d to %s", state.epoch, path)
     state.epoch = start_ep + cfg.num_epochs
     return state

@@ -45,6 +45,25 @@ def test_train_loop_checkpoint_restore_inference(tmp_path):
     assert np.isfinite(mean)
 
 
+def test_final_epoch_checkpoint_saved(tmp_path):
+    """A run whose length is not a multiple of ``save_model_each`` still
+    persists its FINAL state (the in-loop cadence alone would silently lose
+    the tail epochs — e.g. 400 epochs at each=50 last saved at 350)."""
+    cfg, ds, props, model, batch = tiny_setup(seq_len=4, decoder="MLP")
+    cfg = cfg.replace(num_epochs=4, save_model_each=2, batch_size=2,
+                      checkpoint_save_path=str(tmp_path))
+    model = model.__class__(cfg=cfg, ds_props=model.ds_props, backbone_cfg=model.backbone_cfg)
+    trainer = Trainer(model)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    save_path = ckpt.make_save_folder(str(tmp_path), None)
+    train_run(cfg, trainer, state, ds, ds, save_path=save_path,
+              rng=jax.random.PRNGKey(1))
+    # cadence saves at epochs 0 and 2; the final state (epoch 3) must exist
+    assert ckpt.latest_step(save_path) == 3
+    like = trainer.init_state(jax.random.PRNGKey(2))
+    assert ckpt.restore_checkpoint(save_path, 3, like).epoch == 3
+
+
 def test_training_reduces_loss():
     cfg, ds, props, model, batch = tiny_setup(seq_len=4, decoder="MLP")
     trainer = Trainer(model)
