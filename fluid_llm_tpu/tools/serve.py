@@ -1,0 +1,321 @@
+"""HTTP serving daemon: load a checkpoint, keep compiled rollouts warm,
+serve trajectory-rollout requests.
+
+The reference has no serving story beyond re-running ``src/inference.py``
+per evaluation (``src/inference.py:150-191`` — model rebuilt, checkpoint
+reloaded, programs recompiled every invocation).  This daemon is the
+deployment counterpart: one process owns the chip, the checkpoint is
+restored once, the rollout programs are compiled once per ``pred_steps``
+bucket at startup, and each request is a single warm device call.
+
+Request contract (``POST /v1/rollout``, JSON):
+
+    {
+      "states":     base64 float32 little-endian, shape (ctx, 3, H, W)
+                    RAW grid frames (physical units, not normalized),
+      "shape":      [ctx, 3, H, W],
+      "mask":       base64 uint8, shape (H, W) — 1 outside the mesh
+                    (boundary/exterior pixels, forced + excluded),
+      "pred_steps": int,
+      "start_step": int (default 0) — trajectory step of frame 0; only
+                    meaningful for ``absolute_time_ids`` models,
+    }
+
+Response: ``{"states": b64 f32, "shape": [pred, 3, H, W], ...timings}`` —
+predictions DEnormalized back to physical units on the client's grid (the
+patch padding is cropped; ``flip_y`` models are flipped back).
+
+Geometry (H, W, patch layout, normalization stats) is published at
+``GET /v1/info``; ``GET /healthz`` is the liveness probe.  Device access is
+serialized with a lock (one chip); concurrent requests queue.
+
+Usage:
+    python -m fluid_llm_tpu.tools.serve --checkpoint_dir model_checkpoints \
+        --load_no -1 --port 8474 --buckets 50,251
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import logging
+import os
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import numpy as np
+
+logging.basicConfig(level=logging.INFO, format="[%(name)s:%(levelname)s] %(message)s", force=True)
+logger = logging.getLogger("fluid_llm_tpu.serve")
+
+
+def _b64(arr: np.ndarray) -> str:
+    return base64.b64encode(np.ascontiguousarray(arr).tobytes()).decode("ascii")
+
+
+def _unb64(data: str, shape, dtype) -> np.ndarray:
+    raw = base64.b64decode(data)
+    arr = np.frombuffer(raw, dtype=dtype)
+    expect = int(np.prod(shape))
+    if arr.size != expect:
+        raise ValueError(f"payload has {arr.size} elements, shape {shape} needs {expect}")
+    return arr.reshape(shape)
+
+
+class RolloutEngine:
+    """Checkpoint + warm compiled rollout programs, one per pred-steps bucket."""
+
+    def __init__(self, cfg, model, params, dataset, buckets, streaming: bool):
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        self.dataset = dataset
+        self.streaming = streaming
+        self.buckets = sorted(set(int(b) for b in buckets))
+        self.pad_x, self.pad_y, self.nx, self.ny = dataset._probe()
+        self.grid_hw = dataset.get_trajectory(0).mask.shape
+        self._lock = threading.Lock()  # one chip: serialize device work
+        self._rollouts = {}
+
+        if streaming:
+            from fluid_llm_tpu.rollout.streaming import gen_seq_streaming as _gen
+        else:
+            from fluid_llm_tpu.rollout.generate import gen_seq as _gen
+        for b in self.buckets:
+            self._rollouts[b] = jax.jit(
+                lambda p, batch, _b=b: _gen(self.model, p, batch, _b, start_state=1)
+            )
+
+    # -- batch construction ---------------------------------------------
+
+    def build_batch(self, grid_states: np.ndarray, grid_mask: np.ndarray,
+                    bucket: int, start_step: int = 0):
+        """Raw grid context frames -> the dataset sample tuple, padded on the
+        time axis to the bucket's rollout length (the rollout only reads
+        ``states[:, :start_state]``; the tail is geometry for the scan)."""
+        from fluid_llm_tpu.data.pipeline import position_ids, window_to_patches
+
+        ds = self.dataset
+        seq_m1 = bucket  # ctx_states=1: constraint is bucket <= seq_len-1
+        ctx = grid_states.shape[0]
+        # window_to_patches consumes a (seq, 3, H, W) window and emits seq-1
+        # input states; pad the time axis with a repeat of the last frame
+        # (values beyond the context are never read by the rollout)
+        full = np.concatenate(
+            [grid_states, np.repeat(grid_states[-1:], seq_m1 + 1 - ctx, axis=0)], axis=0
+        )
+        input_states, next_state, diffs, bc_mask = window_to_patches(
+            full, grid_mask, ds.means, ds.stds,
+            patch=ds.patch_size, pad_x=self.pad_x, pad_y=self.pad_y,
+            flip_y=ds.flip_y, trim=ds.trim_patches, masked_norm=ds.masked_norm,
+        )
+        pos = position_ids(
+            seq_m1, self.nx, self.ny,
+            t_base=start_step if ds.absolute_time else 0,
+            t_step=ds.seq_interval if ds.absolute_time else 1,
+        )
+        add_b = lambda a: np.asarray(a)[None]
+        return (add_b(input_states), add_b(next_state), add_b(diffs),
+                add_b(bc_mask), add_b(pos))
+
+    # -- inference --------------------------------------------------------
+
+    def pick_bucket(self, pred_steps: int) -> int:
+        for b in self.buckets:
+            if pred_steps <= b:
+                return b
+        raise ValueError(f"pred_steps {pred_steps} exceeds largest bucket {self.buckets[-1]}")
+
+    def predict(self, grid_states: np.ndarray, grid_mask: np.ndarray,
+                pred_steps: int, start_step: int = 0) -> np.ndarray:
+        """(ctx, 3, H, W) raw grid frames -> (pred_steps, 3, H, W) raw preds."""
+        if grid_states.shape[1:] != (3, *self.grid_hw):
+            raise ValueError(
+                f"states shape {grid_states.shape} != (ctx, 3, {self.grid_hw[0]}, {self.grid_hw[1]})"
+            )
+        if grid_mask.shape != self.grid_hw:
+            raise ValueError(f"mask shape {grid_mask.shape} != {self.grid_hw}")
+        bucket = self.pick_bucket(pred_steps)
+        batch = self.build_batch(grid_states, grid_mask.astype(bool), bucket, start_step)
+        with self._lock:
+            pred_states, _ = self._rollouts[bucket](self.params, batch)
+            pred_states = np.asarray(pred_states)
+        # rollout returns [ctx ... preds, final]; drop the context frame and
+        # keep pred_steps predictions (bucket may exceed the request)
+        pred = pred_states[0, 1:pred_steps + 1]
+        return self._to_client_grid(pred)
+
+    def _to_client_grid(self, pred: np.ndarray) -> np.ndarray:
+        """Denormalize + undo the model-grid transforms (pad crop, y-flip)."""
+        ds = self.dataset
+        if ds.flip_y:
+            pred = pred[..., ::-1]
+        if not ds.trim_patches:  # trim changes geometry; serve the model grid
+            (x0, x1), (y0, y1) = self.pad_x, self.pad_y
+            H, W = pred.shape[-2:]
+            pred = pred[..., x0:H - x1, y0:W - y1]
+        return pred * ds.stds[None, :, None, None] + ds.means[None, :, None, None]
+
+    def warmup(self):
+        zeros = np.zeros((1, 3, *self.grid_hw), np.float32)
+        mask = np.zeros(self.grid_hw, bool)
+        for b in self.buckets:
+            t0 = time.monotonic()
+            out = self.predict(zeros, mask, pred_steps=b)
+            float(out.mean())  # force completion (axon: block_until_ready can return early)
+            logger.info("warm bucket %d compiled+ran in %.1fs", b, time.monotonic() - t0)
+
+    def info(self) -> dict:
+        ds = self.dataset
+        return {
+            "backbone": self.cfg.llm_backbone,
+            "streaming": self.streaming,
+            "buckets": self.buckets,
+            "grid_hw": list(self.grid_hw),
+            "patch_size": list(ds.patch_size),
+            "n_patch": self.nx * self.ny,
+            "absolute_time_ids": ds.absolute_time,
+            "means": [float(m) for m in ds.means],
+            "stds": [float(s) for s in ds.stds],
+            "trim_patches": ds.trim_patches,
+            "flip_y": ds.flip_y,
+        }
+
+
+def load_engine(checkpoint_dir: str, load_no: int = -1, step: int | None = None,
+                buckets=(50, 251), streaming: str = "auto") -> RolloutEngine:
+    """Restore a run's checkpoint into a serving engine (mirrors
+    ``inference.py:139-161``'s restore path)."""
+    from fluid_llm_tpu.data import get_dataset
+    from fluid_llm_tpu.main import init_state_and_mesh
+    from fluid_llm_tpu.train import checkpoint as ckpt
+    from fluid_llm_tpu.utils import set_seed
+
+    set_seed()
+    load_path = ckpt.get_save_folder(checkpoint_dir, load_no)
+    cfg = ckpt.load_config(load_path)
+    step = step if step is not None else ckpt.latest_step(load_path)
+    logger.info("serving %s step_%s", load_path, step)
+
+    probe_ds = get_dataset(cfg.replace(seq_len=cfg.autoreg_seq_len), mode="valid")
+    model, _trainer, like, mesh = init_state_and_mesh(cfg, probe_ds.ds_props(), jax.random.PRNGKey(0))
+    state = ckpt.restore_checkpoint(load_path, step, like)
+    params = state.params
+    if mesh is None:
+        params = model.prepare_inference_params(params)
+
+    if streaming == "auto":
+        # KV-cache serving needs the cache-stable positional scheme
+        # (``rollout/streaming.py::_check_streaming_compat``)
+        use_streaming = (
+            model.backbone_cfg.pos == "rope"
+            and cfg.pos_embedding_params.pos_embedding_type == "rope_abs"
+            and cfg.absolute_time_ids
+        )
+    else:
+        use_streaming = streaming in ("1", "true", "yes", "on")
+    # the serving dataset provides geometry/stats only; its window must cover
+    # the largest bucket so ds_props/seq arithmetic stays consistent
+    serve_ds = get_dataset(cfg.replace(seq_len=max(buckets) + 1), mode="test")
+    return RolloutEngine(cfg, model, params, serve_ds, buckets, use_streaming)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine: RolloutEngine = None  # set by serve()
+
+    def log_message(self, fmt, *args):  # route through logging, not stderr
+        logger.info("%s %s", self.address_string(), fmt % args)
+
+    def _send(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._send(200, {"status": "ok"})
+        elif self.path == "/v1/info":
+            self._send(200, self.engine.info())
+        else:
+            self._send(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):
+        if self.path != "/v1/rollout":
+            self._send(404, {"error": f"unknown path {self.path}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length))
+            shape = req["shape"]
+            states = _unb64(req["states"], shape, np.float32)
+            mask = _unb64(req["mask"], shape[-2:], np.uint8)
+            pred_steps = int(req["pred_steps"])
+            start_step = int(req.get("start_step", 0))
+            t0 = time.monotonic()
+            pred = self.engine.predict(states, mask, pred_steps, start_step)
+            dt = time.monotonic() - t0
+            self._send(200, {
+                "states": _b64(pred.astype(np.float32)),
+                "shape": list(pred.shape),
+                "latency_s": round(dt, 4),
+                "steps_per_s": round(pred_steps / dt, 2),
+            })
+        except (KeyError, ValueError, json.JSONDecodeError) as e:
+            self._send(400, {"error": str(e)})
+        except Exception as e:  # keep the daemon alive on a bad request
+            logger.exception("rollout failed")
+            self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def serve(engine: RolloutEngine, host: str = "127.0.0.1", port: int = 8474) -> ThreadingHTTPServer:
+    handler = type("Handler", (_Handler,), {"engine": engine})
+    httpd = ThreadingHTTPServer((host, port), handler)
+    logger.info("serving on http://%s:%d (buckets %s, streaming=%s)",
+                host, httpd.server_address[1], engine.buckets, engine.streaming)
+    return httpd
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint_dir", default="model_checkpoints")
+    parser.add_argument("--load_no", type=int, default=-1)
+    parser.add_argument("--step", type=int, default=None)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8474)
+    parser.add_argument("--buckets", default="50,251",
+                        help="pred-steps program sizes compiled at startup")
+    parser.add_argument("--streaming", default="auto", choices=["auto", "on", "off"],
+                        help="KV-cache serving (rope backbones; auto-detected)")
+    parser.add_argument("--no_warmup", action="store_true")
+    args = parser.parse_args(argv)
+
+    # serving default: fast cold compile (BENCHMARKS.md "Cold compile")
+    effort = os.environ.get("FLUID_COMPILE_EFFORT", "-0.3")
+    if effort not in ("", "default"):
+        try:
+            jax.config.update("jax_exec_time_optimization_effort", float(effort))
+        except Exception as e:
+            logger.warning("compile-effort knob unavailable: %s", e)
+
+    buckets = [int(b) for b in args.buckets.split(",")]
+    engine = load_engine(args.checkpoint_dir, args.load_no, args.step,
+                         buckets=buckets, streaming=args.streaming)
+    if not args.no_warmup:
+        engine.warmup()
+    httpd = serve(engine, args.host, args.port)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("shutting down")
+        httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

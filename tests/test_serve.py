@@ -1,0 +1,119 @@
+"""Serving daemon: batch construction, geometry round-trip, HTTP protocol.
+
+The checkpoint-restore path ``serve.load_engine`` shares is covered by
+``test_train_e2e.py``; here the engine is built directly from the tiny model
+so the new surface (grid->batch construction, bucket dispatch, denormalize/
+crop, the HTTP contract) runs on CPU.
+"""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from fluid_llm_tpu.data.pipeline import make_batches
+from fluid_llm_tpu.tools import serve as srv
+
+from test_model import tiny_setup
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg, ds, props, model, batch = tiny_setup(seq_len=8, decoder="MLP")
+    params = model.prepare_inference_params(model.init(jax.random.PRNGKey(0)))
+    return srv.RolloutEngine(cfg, model, params, ds, buckets=[3, 6], streaming=False), ds
+
+
+def _client_frames(ds, n=1):
+    """Raw grid frames + mask from the synthetic dataset's first trajectory."""
+    from fluid_llm_tpu.core.interp import resample_to_grid
+
+    src = ds.get_trajectory(0)
+    grid = np.asarray(resample_to_grid(
+        src.node_states[:n], src.vert_idx, src.weights, src.mask))
+    return grid, np.asarray(src.mask, np.uint8)
+
+
+def test_predict_shapes_and_units(engine):
+    eng, ds = engine
+    grid, mask = _client_frames(ds)
+    pred = eng.predict(grid, mask, pred_steps=3)
+    # client-grid geometry: padding cropped back to the raw grid
+    assert pred.shape == (3, 3, *grid.shape[-2:])
+    assert np.isfinite(pred).all()
+    # output is in PHYSICAL units: inside-mesh magnitudes comparable to input
+    inside = ~mask.astype(bool)
+    assert abs(pred[0, 0][inside].mean() - grid[0, 0][inside].mean()) < 10 * (
+        abs(grid[0, 0][inside].mean()) + 1
+    )
+
+
+def test_bucket_dispatch(engine):
+    eng, ds = engine
+    grid, mask = _client_frames(ds)
+    # pred_steps=2 runs in the 3-bucket, sliced to 2
+    assert eng.predict(grid, mask, pred_steps=2).shape[0] == 2
+    assert eng.pick_bucket(2) == 3
+    assert eng.pick_bucket(4) == 6
+    with pytest.raises(ValueError, match="exceeds largest bucket"):
+        eng.pick_bucket(7)
+
+
+def test_build_batch_matches_dataset_sample(engine):
+    """The serving-side batch must reproduce the dataset pipeline exactly on
+    the frames it reads (states[:, :1], bc_mask, position_ids)."""
+    eng, ds = engine
+    sample = ds.sample(0, step_num=0)
+    grid, mask = _client_frames(ds, n=1)
+    built = eng.build_batch(grid, mask.astype(bool), bucket=3, start_step=0)
+    np.testing.assert_allclose(
+        np.asarray(built[0][0, 0]), np.asarray(sample[0][0]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(built[3][0, 0]), np.asarray(sample[3][0]))
+    np.testing.assert_array_equal(built[4][0], sample[4][:3])
+
+
+def test_http_round_trip(engine):
+    eng, ds = engine
+    httpd = srv.serve(eng, host="127.0.0.1", port=0)  # ephemeral port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.load(r)["status"] == "ok"
+        with urllib.request.urlopen(f"{base}/v1/info", timeout=30) as r:
+            info = json.load(r)
+        assert info["buckets"] == [3, 6]
+        assert info["grid_hw"] == list(_client_frames(ds)[1].shape)
+
+        grid, mask = _client_frames(ds)
+        body = json.dumps({
+            "states": srv._b64(grid.astype(np.float32)),
+            "shape": list(grid.shape),
+            "mask": srv._b64(mask),
+            "pred_steps": 2,
+        }).encode()
+        req = urllib.request.Request(f"{base}/v1/rollout", data=body,
+                                     headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.load(r)
+        pred = srv._unb64(out["states"], out["shape"], np.float32)
+        assert pred.shape == (2, 3, *grid.shape[-2:])
+        assert np.isfinite(pred).all()
+        assert out["steps_per_s"] > 0
+
+        # malformed request -> 400, daemon stays alive
+        bad = urllib.request.Request(f"{base}/v1/rollout", data=b"{}",
+                                     headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad, timeout=30)
+        assert e.value.code == 400
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.load(r)["status"] == "ok"
+    finally:
+        httpd.shutdown()
