@@ -67,15 +67,26 @@ def _unb64(data: str, shape, dtype) -> np.ndarray:
 
 
 class RolloutEngine:
-    """Checkpoint + warm compiled rollout programs, one per pred-steps bucket."""
+    """Checkpoint + warm compiled rollout programs, one per pred-steps bucket.
 
-    def __init__(self, cfg, model, params, dataset, buckets, streaming: bool):
+    ``max_batch > 1`` adds request coalescing: a worker thread drains the
+    queue for up to ``batch_window_ms`` after the first request and runs one
+    BATCHED device call per bucket group (aggregate throughput scales
+    ~linearly with batch at this model size — BENCHMARKS.md "Batched
+    serving"). Singletons still run the bs=1 program so an idle daemon never
+    pays the padded-batch cost.
+    """
+
+    def __init__(self, cfg, model, params, dataset, buckets, streaming: bool,
+                 max_batch: int = 1, batch_window_ms: float = 10.0):
         self.cfg = cfg
         self.model = model
         self.params = params
         self.dataset = dataset
         self.streaming = streaming
         self.buckets = sorted(set(int(b) for b in buckets))
+        self.max_batch = int(max_batch)
+        self.batch_window_s = batch_window_ms / 1e3
         self.pad_x, self.pad_y, self.nx, self.ny = dataset._probe()
         self.grid_hw = dataset.get_trajectory(0).mask.shape
         self._lock = threading.Lock()  # one chip: serialize device work
@@ -89,6 +100,13 @@ class RolloutEngine:
             self._rollouts[b] = jax.jit(
                 lambda p, batch, _b=b: _gen(self.model, p, batch, _b, start_state=1)
             )
+
+        self._queue = None
+        if self.max_batch > 1:
+            import queue as _queue
+
+            self._queue = _queue.Queue()
+            threading.Thread(target=self._batch_worker, daemon=True).start()
 
     # -- batch construction ---------------------------------------------
 
@@ -130,24 +148,90 @@ class RolloutEngine:
                 return b
         raise ValueError(f"pred_steps {pred_steps} exceeds largest bucket {self.buckets[-1]}")
 
-    def predict(self, grid_states: np.ndarray, grid_mask: np.ndarray,
-                pred_steps: int, start_step: int = 0) -> np.ndarray:
-        """(ctx, 3, H, W) raw grid frames -> (pred_steps, 3, H, W) raw preds."""
+    def _validate(self, grid_states: np.ndarray, grid_mask: np.ndarray):
         if grid_states.shape[1:] != (3, *self.grid_hw):
             raise ValueError(
                 f"states shape {grid_states.shape} != (ctx, 3, {self.grid_hw[0]}, {self.grid_hw[1]})"
             )
         if grid_mask.shape != self.grid_hw:
             raise ValueError(f"mask shape {grid_mask.shape} != {self.grid_hw}")
-        bucket = self.pick_bucket(pred_steps)
-        batch = self.build_batch(grid_states, grid_mask.astype(bool), bucket, start_step)
+
+    def _device_rollout(self, bucket: int, batch) -> np.ndarray:
+        """One (possibly batched) device call -> (bs, bucket+1, 3, H, W)."""
         with self._lock:
             pred_states, _ = self._rollouts[bucket](self.params, batch)
-            pred_states = np.asarray(pred_states)
+            return np.asarray(pred_states)
+
+    def predict(self, grid_states: np.ndarray, grid_mask: np.ndarray,
+                pred_steps: int, start_step: int = 0) -> np.ndarray:
+        """(ctx, 3, H, W) raw grid frames -> (pred_steps, 3, H, W) raw preds."""
+        self._validate(grid_states, grid_mask)
+        bucket = self.pick_bucket(pred_steps)
+        batch = self.build_batch(grid_states, grid_mask.astype(bool), bucket, start_step)
+        pred_states = self._device_rollout(bucket, batch)
         # rollout returns [ctx ... preds, final]; drop the context frame and
         # keep pred_steps predictions (bucket may exceed the request)
         pred = pred_states[0, 1:pred_steps + 1]
         return self._to_client_grid(pred)
+
+    # -- request coalescing (max_batch > 1) --------------------------------
+
+    def request(self, grid_states: np.ndarray, grid_mask: np.ndarray,
+                pred_steps: int, start_step: int = 0) -> np.ndarray:
+        """Public request path: coalesced when batching is enabled."""
+        if self._queue is None:
+            return self.predict(grid_states, grid_mask, pred_steps, start_step)
+        from concurrent.futures import Future
+
+        fut = Future()
+        self._validate(grid_states, grid_mask)  # fail fast on the caller thread
+        self._queue.put((grid_states, grid_mask, pred_steps, start_step, fut))
+        return fut.result()
+
+    def _batch_worker(self):
+        import queue as _queue
+
+        while True:
+            group = [self._queue.get()]
+            deadline = time.monotonic() + self.batch_window_s
+            while len(group) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    group.append(self._queue.get(timeout=remaining))
+                except _queue.Empty:
+                    break
+            try:
+                self._run_group(group)
+            except Exception as e:  # pragma: no cover - belt and braces
+                for *_ignored, fut in group:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def _run_group(self, group):
+        """Partition by bucket, one batched device call per bucket."""
+        by_bucket: dict[int, list] = {}
+        for req in group:
+            states, mask, pred_steps, start_step, fut = req
+            try:
+                by_bucket.setdefault(self.pick_bucket(pred_steps), []).append(req)
+            except ValueError as e:
+                fut.set_exception(e)
+        for bucket, reqs in by_bucket.items():
+            try:
+                parts = [
+                    self.build_batch(s, m.astype(bool), bucket, st)
+                    for s, m, _p, st, _f in reqs
+                ]
+                batch = tuple(np.concatenate(axis_parts, axis=0) for axis_parts in zip(*parts))
+                preds = self._device_rollout(bucket, batch)
+                for i, (_s, _m, pred_steps, _st, fut) in enumerate(reqs):
+                    fut.set_result(self._to_client_grid(preds[i, 1:pred_steps + 1]))
+            except Exception as e:
+                for *_ignored, fut in reqs:
+                    if not fut.done():
+                        fut.set_exception(e)
 
     def _to_client_grid(self, pred: np.ndarray) -> np.ndarray:
         """Denormalize + undo the model-grid transforms (pad crop, y-flip)."""
@@ -164,10 +248,14 @@ class RolloutEngine:
         zeros = np.zeros((1, 3, *self.grid_hw), np.float32)
         mask = np.zeros(self.grid_hw, bool)
         for b in self.buckets:
-            t0 = time.monotonic()
-            out = self.predict(zeros, mask, pred_steps=b)
-            float(out.mean())  # force completion (axon: block_until_ready can return early)
-            logger.info("warm bucket %d compiled+ran in %.1fs", b, time.monotonic() - t0)
+            for bs in {1, self.max_batch}:  # jit caches per input shape
+                t0 = time.monotonic()
+                batch = self.build_batch(zeros, mask, b)
+                batch = tuple(np.repeat(a, bs, axis=0) for a in batch)
+                out = self._device_rollout(b, batch)
+                float(out.mean())  # force completion (axon: block_until_ready can return early)
+                logger.info("warm bucket %d bs=%d compiled+ran in %.1fs",
+                            b, bs, time.monotonic() - t0)
 
     def info(self) -> dict:
         ds = self.dataset
@@ -175,6 +263,7 @@ class RolloutEngine:
             "backbone": self.cfg.llm_backbone,
             "streaming": self.streaming,
             "buckets": self.buckets,
+            "max_batch": self.max_batch,
             "grid_hw": list(self.grid_hw),
             "patch_size": list(ds.patch_size),
             "n_patch": self.nx * self.ny,
@@ -187,7 +276,8 @@ class RolloutEngine:
 
 
 def load_engine(checkpoint_dir: str, load_no: int = -1, step: int | None = None,
-                buckets=(50, 251), streaming: str = "auto") -> RolloutEngine:
+                buckets=(50, 251), streaming: str = "auto",
+                max_batch: int = 1, batch_window_ms: float = 10.0) -> RolloutEngine:
     """Restore a run's checkpoint into a serving engine (mirrors
     ``inference.py:139-161``'s restore path)."""
     from fluid_llm_tpu.data import get_dataset
@@ -221,7 +311,8 @@ def load_engine(checkpoint_dir: str, load_no: int = -1, step: int | None = None,
     # the serving dataset provides geometry/stats only; its window must cover
     # the largest bucket so ds_props/seq arithmetic stays consistent
     serve_ds = get_dataset(cfg.replace(seq_len=max(buckets) + 1), mode="test")
-    return RolloutEngine(cfg, model, params, serve_ds, buckets, use_streaming)
+    return RolloutEngine(cfg, model, params, serve_ds, buckets, use_streaming,
+                         max_batch=max_batch, batch_window_ms=batch_window_ms)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -259,7 +350,7 @@ class _Handler(BaseHTTPRequestHandler):
             pred_steps = int(req["pred_steps"])
             start_step = int(req.get("start_step", 0))
             t0 = time.monotonic()
-            pred = self.engine.predict(states, mask, pred_steps, start_step)
+            pred = self.engine.request(states, mask, pred_steps, start_step)
             dt = time.monotonic() - t0
             self._send(200, {
                 "states": _b64(pred.astype(np.float32)),
@@ -293,6 +384,10 @@ def main(argv=None):
                         help="pred-steps program sizes compiled at startup")
     parser.add_argument("--streaming", default="auto", choices=["auto", "on", "off"],
                         help="KV-cache serving (rope backbones; auto-detected)")
+    parser.add_argument("--max_batch", type=int, default=1,
+                        help="coalesce up to N concurrent requests per device call")
+    parser.add_argument("--batch_window_ms", type=float, default=10.0,
+                        help="how long to wait for co-batchable requests")
     parser.add_argument("--no_warmup", action="store_true")
     args = parser.parse_args(argv)
 
@@ -306,7 +401,8 @@ def main(argv=None):
 
     buckets = [int(b) for b in args.buckets.split(",")]
     engine = load_engine(args.checkpoint_dir, args.load_no, args.step,
-                         buckets=buckets, streaming=args.streaming)
+                         buckets=buckets, streaming=args.streaming,
+                         max_batch=args.max_batch, batch_window_ms=args.batch_window_ms)
     if not args.no_warmup:
         engine.warmup()
     httpd = serve(engine, args.host, args.port)

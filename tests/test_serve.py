@@ -76,6 +76,37 @@ def test_build_batch_matches_dataset_sample(engine):
     np.testing.assert_array_equal(built[4][0], sample[4][:3])
 
 
+def test_request_coalescing_matches_unbatched(engine):
+    """max_batch>1: concurrent requests coalesce into one batched device
+    call and return per-request results identical to the bs=1 path."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    eng, ds = engine
+    batched = srv.RolloutEngine(eng.cfg, eng.model, eng.params, ds,
+                                buckets=[3, 6], streaming=False,
+                                max_batch=3, batch_window_ms=500.0)
+    grid, mask = _client_frames(ds)
+    grid2 = grid * 1.1  # a second, different trajectory context
+
+    calls = []
+    orig = batched._device_rollout
+    batched._device_rollout = lambda b, batch: calls.append(batch[0].shape[0]) or orig(b, batch)
+
+    with ThreadPoolExecutor(3) as pool:
+        futs = [
+            pool.submit(batched.request, grid, mask, 3, 0),
+            pool.submit(batched.request, grid2, mask, 2, 0),
+            pool.submit(batched.request, grid, mask, 5, 0),  # other bucket
+        ]
+        out = [f.result(timeout=300) for f in futs]
+
+    np.testing.assert_allclose(out[0], eng.predict(grid, mask, 3), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out[1], eng.predict(grid2, mask, 2), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out[2], eng.predict(grid, mask, 5), rtol=1e-4, atol=1e-5)
+    # the two bucket-3 requests shared one batched device call
+    assert sorted(calls) == [1, 2]
+
+
 def test_http_round_trip(engine):
     eng, ds = engine
     httpd = srv.serve(eng, host="127.0.0.1", port=0)  # ephemeral port
