@@ -109,11 +109,57 @@ def attr():
     print(f"MLPGNN-vs-MLP dec: {(results['base']-results['mlpdec'])*1e3:.3f} ms/step")
 
 
-def trace():
+def _build_streaming():
+    """The streaming-serving stack (mirrors ``bench.py::bench_streaming``)."""
+    from fluid_llm_tpu.config import Config
+    from fluid_llm_tpu.data.pipeline import make_batches
+    from fluid_llm_tpu.data.synthetic import SyntheticCylinderDataset
+    from fluid_llm_tpu.models.fluid_llm import FluidLLM
+
+    cfg = Config(
+        llm_backbone="fluid/llama-125m",
+        half_precision=True,
+        use_lora=False,
+        batch_size=1,
+        autoreg_seq_len=SEQ_LEN,
+        seq_len=SEQ_LEN,
+        resolution=238,
+        flash_attention=True,
+        pos_embedding_params={"pos_embedding_type": "rope_abs",
+                              "input_emb_layer_dropout": 0.0},
+        absolute_time_ids=True,
+    )
+    ds = SyntheticCylinderDataset(
+        n_trajectories=1, resolution=238, seq_len=SEQ_LEN, mode="test",
+        max_steps=600, absolute_time=True,
+    )
+    model = FluidLLM.build(cfg, ds.ds_props())
+    batch = next(make_batches(ds, 1, shuffle=False))
+    return model, batch
+
+
+def trace(streaming: bool = False):
     import jax
 
-    model, batch = _build()
-    _, (roll, params, init, bc_mask, pos) = _timed_roll(model, batch, "traced", n_rep=1)
+    if streaming:
+        from fluid_llm_tpu.rollout.streaming import generate_streaming
+
+        model, batch = _build_streaming()
+        states, _, _, bc_mask, pos = batch
+        params = model.prepare_inference_params(model.init(jax.random.PRNGKey(0)))
+        roll = jax.jit(
+            lambda p, s, m, pid: generate_streaming(model, p, s, m, pid, PRED_STEPS)
+        )
+        init, bc_mask, pos = (
+            jax.device_put(states[:, :1]), jax.device_put(bc_mask), jax.device_put(pos)
+        )
+        t0 = time.time()
+        st, _ = roll(params, init, bc_mask, pos)
+        float(st.mean())
+        print(f"streaming: compile {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    else:
+        model, batch = _build()
+        _, (roll, params, init, bc_mask, pos) = _timed_roll(model, batch, "traced", n_rep=1)
     tdir = "/tmp/rollout_trace"
     os.system(f"rm -rf {tdir}")
     with jax.profiler.trace(tdir):
@@ -153,6 +199,8 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "attr"
     if mode == "trace":
         trace()
+    elif mode == "trace_stream":
+        trace(streaming=True)
     else:
         attr()
 
