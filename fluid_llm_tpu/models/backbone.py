@@ -986,21 +986,81 @@ def _final_block_sliced(x, layer_params, layer_lora, cfg: BackboneConfig,
 # --------------------------------------------------------------------------
 
 
-def init_streaming_cache(cfg: BackboneConfig, bs: int, capacity: int) -> Params:
-    """Fixed-shape per-layer K/V ring buffer, scan-carry friendly.
+def init_streaming_cache(
+    cfg: BackboneConfig, bs: int, n_sink: int, n_frames: int, frame_tokens: int
+) -> Params:
+    """Fixed-shape per-layer K/V cache: pinned sinks + a frame-slab ring.
 
-    ``pos`` holds each slot's absolute token position (-1 = never written);
-    ``valid`` marks written slots.  Overwritten slots simply get the new
-    token's (k, v, pos) — the mask ``pos <= q_pos`` stays correct because
-    every resident token precedes the incoming queries.
+    Two buffers instead of one flat token ring:
+
+    - ``k_sink``/``v_sink`` ``(L, bs, n_sink, kvh, hd)`` — written once at
+      prefill, read-only afterwards;
+    - ``k_ring``/``v_ring`` ``(L, bs, n_frames, frame_tokens, kvh, hd)`` —
+      each decode step overwrites ONE whole frame slab at a dynamic index on
+      the major ``n_frames`` dim.  The flat layout this replaces updated 60
+      tokens at a tile-unaligned dynamic offset inside the minor sequence
+      dim, which Mosaic/XLA lowers to a read-modify-write of every straddled
+      tile (~50× write amplification, measured ~37 % of the streaming step);
+      a full-slab update at a major-dim index is a contiguous store.
+
+    ``sink_pos`` holds each sink token's absolute position; ``ring_pos``
+    holds each slot's FIRST-token position (-1 = never written) — tokens
+    within a frame are consecutive by contract (``apply_streaming``), so the
+    per-key positions are ``ring_pos[:, None] + arange(frame_tokens)``.
+    Overwritten slots simply get the new frame's (k, v, pos) — the mask
+    ``pos <= q_pos`` stays correct because every resident token precedes the
+    incoming queries.
     """
     kvh, hd = cfg.kv_heads, cfg.head_dim
+    L = cfg.n_layers
     return {
-        "k": jnp.zeros((cfg.n_layers, bs, capacity, kvh, hd), cfg.dtype),
-        "v": jnp.zeros((cfg.n_layers, bs, capacity, kvh, hd), cfg.dtype),
-        "pos": jnp.full((capacity,), -1, jnp.int32),
-        "valid": jnp.zeros((capacity,), bool),
+        "k_sink": jnp.zeros((L, bs, n_sink, kvh, hd), cfg.dtype),
+        "v_sink": jnp.zeros((L, bs, n_sink, kvh, hd), cfg.dtype),
+        "sink_pos": jnp.full((n_sink,), -1, jnp.int32),
+        "k_ring": jnp.zeros((L, bs, n_frames, frame_tokens, kvh, hd), cfg.dtype),
+        "v_ring": jnp.zeros((L, bs, n_frames, frame_tokens, kvh, hd), cfg.dtype),
+        "ring_pos": jnp.full((n_frames,), -1, jnp.int32),
     }
+
+
+def _attention_sink_ring(q, k_sink, v_sink, k_ring, v_ring,
+                         allowed_sink, allowed_ring, cfg: BackboneConfig):
+    """Attention over [sinks; ring] WITHOUT materialising their concat.
+
+    q: (bs, Ln, H, hd); sinks: (bs, S, kvh, hd); ring: (bs, F, P, kvh, hd);
+    allowed_sink: (1, 1, Ln, S); allowed_ring: (1, 1, Ln, F·P).  Two QK^T
+    pieces share one softmax over the concatenated f32 logits (small), so
+    the only K/V traffic is the intrinsic cache read — a K/V concat would
+    copy the whole cache every decode step.
+    """
+    bs = q.shape[0]
+    S = k_sink.shape[1]
+    F, P = k_ring.shape[1:3]
+    kk_r = k_ring.reshape(bs, F * P, *k_ring.shape[-2:])
+    vv_r = v_ring.reshape(bs, F * P, *v_ring.shape[-2:])
+    if cfg.kv_heads != cfg.n_heads:
+        rep = cfg.n_heads // cfg.kv_heads
+        kk_r, vv_r = jnp.repeat(kk_r, rep, axis=2), jnp.repeat(vv_r, rep, axis=2)
+        k_sink = jnp.repeat(k_sink, rep, axis=2)
+        v_sink = jnp.repeat(v_sink, rep, axis=2)
+    scale = q.shape[-1] ** -0.5
+    lg_r = jnp.einsum("bqhd,bkhd->bhqk", q, kk_r.astype(cfg.dtype),
+                      preferred_element_type=jnp.float32)
+    if S:
+        lg_s = jnp.einsum("bqhd,bkhd->bhqk", q, k_sink.astype(cfg.dtype),
+                          preferred_element_type=jnp.float32)
+        logits = jnp.concatenate([lg_s, lg_r], axis=-1)
+        allowed = jnp.concatenate([allowed_sink, allowed_ring], axis=-1)
+    else:
+        logits, allowed = lg_r, allowed_ring
+    logits = jnp.where(allowed, logits * scale, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
+    if S:
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs[..., :S], v_sink.astype(cfg.dtype))
+        out = out + jnp.einsum("bhqk,bkhd->bqhd", probs[..., S:], vv_r.astype(cfg.dtype))
+    else:
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vv_r.astype(cfg.dtype))
+    return out
 
 
 def apply_streaming(
@@ -1009,7 +1069,9 @@ def apply_streaming(
     x_new: jnp.ndarray,
     new_positions: jnp.ndarray,
     cache: Params,
-    write_offset,
+    write_slot,
+    *,
+    prefill: bool = False,
 ) -> tuple[jnp.ndarray, Params]:
     """Run all blocks over ``x_new`` (bs, Ln, d) against cached K/V.
 
@@ -1022,9 +1084,14 @@ def apply_streaming(
     (OPT/GPT-2) re-base token positions per window, so their caches would be
     semantically wrong — rejected here.
 
-    ``new_positions``: (Ln,) absolute token positions, shared across batch.
-    ``write_offset``: traced scalar slot index; the Ln tokens are written
-    contiguously (callers keep frames slot-aligned so a write never wraps).
+    ``new_positions``: (Ln,) absolute token positions, shared across batch;
+    CONSECUTIVE within each frame (the ring stores one base position per
+    slot).  Decode (default): ``x_new`` is exactly ONE frame of
+    ``frame_tokens`` tokens, written as a whole slab at ring slot
+    ``write_slot`` (traced frame index, callers pass ``f % n_frames``).
+    ``prefill=True``: ``x_new`` is the sink tokens followed by zero or more
+    whole frames, written at static offsets (sinks + ring slots ``0..``);
+    ``write_slot`` is ignored.
     Inference-only: merged LoRA (``prepare_inference_params``), no dropout.
     """
     if cfg.pos != "rope":
@@ -1034,32 +1101,55 @@ def apply_streaming(
         )
     bs, Ln = x_new.shape[:2]
     d = cfg.d_model
-    kv_dim = cfg.kv_heads * cfg.head_dim
+    kvh, hd = cfg.kv_heads, cfg.head_dim
+    kv_dim = kvh * hd
+    n_sink = cache["k_sink"].shape[2]
+    F, P = cache["k_ring"].shape[2:4]
     x = x_new.astype(cfg.dtype)
     if "project_in" in params:
         x = _linear(x, params["project_in"])
 
     new_positions = new_positions.astype(jnp.int32)
-    pos = jax.lax.dynamic_update_slice(cache["pos"], new_positions, (write_offset,))
-    valid = jax.lax.dynamic_update_slice(
-        cache["valid"], jnp.ones((Ln,), bool), (write_offset,)
-    )
+    if prefill:
+        n_fr = (Ln - n_sink) // P
+        if n_sink + n_fr * P != Ln:
+            raise ValueError(
+                f"prefill must be sinks ({n_sink}) + whole frames of {P} "
+                f"tokens; got {Ln} tokens"
+            )
+        sink_pos = new_positions[:n_sink]
+        ring_pos = cache["ring_pos"]
+        if n_fr:
+            ring_pos = ring_pos.at[:n_fr].set(new_positions[n_sink::P])
+    else:
+        if Ln != P:
+            raise ValueError(
+                f"decode appends exactly one frame of {P} tokens; got {Ln}"
+            )
+        n_fr = 0
+        sink_pos = cache["sink_pos"]
+        ring_pos = cache["ring_pos"].at[write_slot].set(new_positions[0])
+
     # every resident token precedes (or is) each query: causality — including
     # among the Ln new tokens themselves — reduces to a position comparison
-    allowed = valid[None, None, None, :] & (
-        pos[None, None, None, :] <= new_positions[None, None, :, None]
-    )
+    qpos = new_positions
+    allowed_sink = (
+        (sink_pos >= 0)[None, :] & (sink_pos[None, :] <= qpos[:, None])
+    )[None, None]  # (1, 1, Ln, n_sink)
+    key_pos = ring_pos[:, None] + jnp.arange(P, dtype=jnp.int32)[None, :]  # (F, P)
+    allowed_ring = (
+        (ring_pos >= 0)[None, :, None] & (key_pos[None] <= qpos[:, None, None])
+    ).reshape(Ln, F * P)[None, None]  # (1, 1, Ln, F·P)
     pos_b = jnp.broadcast_to(new_positions[None, :], (bs, Ln))
 
     # the stacked (n_layers, ...) buffers are THREADED through the layer
-    # loop with per-layer dynamic_update_slice at a static layer index —
-    # never sliced out and restacked, which would force XLA to copy every
-    # layer's buffer on every decode step (measured ~30 % of the streaming
-    # step before this formulation); as a scan carry the updates alias
-    # in place
-    ck_all, cv_all = cache["k"], cache["v"]
+    # loop with per-layer updates at a static layer index — never sliced
+    # out and restacked, which would force XLA to copy every layer's buffer
+    # on every decode step; as a scan carry the updates alias in place
+    ck_sink, cv_sink = cache["k_sink"], cache["v_sink"]
+    ck_ring, cv_ring = cache["k_ring"], cache["v_ring"]
 
-    def layer_step(x, ck_all, cv_all, li, lp):
+    def layer_step(x, ck_sink, cv_sink, ck_ring, cv_ring, li, lp):
         # unrolled (list-layout) path only — the stacked layout runs the
         # separate lax.scan ``body`` below
         lin = lambda h, g, n: _linear(h, lp[g][n])
@@ -1074,24 +1164,37 @@ def apply_streaming(
             k = lin(h, "attn", "k")
             v = lin(h, "attn", "v")
         q = q.reshape(bs, Ln, cfg.n_heads, cfg.head_dim)
-        k = k.reshape(bs, Ln, cfg.kv_heads, cfg.head_dim)
-        v = v.reshape(bs, Ln, cfg.kv_heads, cfg.head_dim)
+        k = k.reshape(bs, Ln, kvh, hd)
+        v = v.reshape(bs, Ln, kvh, hd)
         q, k = _rope(q, k, pos_b, cfg)
 
-        ck_all = jax.lax.dynamic_update_slice(
-            ck_all, k.astype(ck_all.dtype)[None], (li, 0, write_offset, 0, 0)
-        )
-        cv_all = jax.lax.dynamic_update_slice(
-            cv_all, v.astype(cv_all.dtype)[None], (li, 0, write_offset, 0, 0)
-        )
+        if prefill:
+            if n_sink:
+                ck_sink = ck_sink.at[li].set(k[:, :n_sink].astype(ck_sink.dtype))
+                cv_sink = cv_sink.at[li].set(v[:, :n_sink].astype(cv_sink.dtype))
+            if n_fr:
+                kf = k[:, n_sink:].reshape(bs, n_fr, P, kvh, hd)
+                vf = v[:, n_sink:].reshape(bs, n_fr, P, kvh, hd)
+                ck_ring = ck_ring.at[li, :, :n_fr].set(kf.astype(ck_ring.dtype))
+                cv_ring = cv_ring.at[li, :, :n_fr].set(vf.astype(cv_ring.dtype))
+        else:
+            ck_ring = jax.lax.dynamic_update_slice(
+                ck_ring, k.reshape(bs, 1, P, kvh, hd).astype(ck_ring.dtype)[None],
+                (li, 0, write_slot, 0, 0, 0),
+            )
+            cv_ring = jax.lax.dynamic_update_slice(
+                cv_ring, v.reshape(bs, 1, P, kvh, hd).astype(cv_ring.dtype)[None],
+                (li, 0, write_slot, 0, 0, 0),
+            )
 
-        kk = jax.lax.dynamic_index_in_dim(ck_all, li, 0, False).astype(cfg.dtype)
-        vv = jax.lax.dynamic_index_in_dim(cv_all, li, 0, False).astype(cfg.dtype)
-        if cfg.kv_heads != cfg.n_heads:
-            rep = cfg.n_heads // cfg.kv_heads
-            kk = jnp.repeat(kk, rep, axis=2)
-            vv = jnp.repeat(vv, rep, axis=2)
-        attn_out = _attention_xla(q, kk, vv, allowed, cfg.dtype)
+        attn_out = _attention_sink_ring(
+            q,
+            jax.lax.dynamic_index_in_dim(ck_sink, li, 0, False),
+            jax.lax.dynamic_index_in_dim(cv_sink, li, 0, False),
+            jax.lax.dynamic_index_in_dim(ck_ring, li, 0, False),
+            jax.lax.dynamic_index_in_dim(cv_ring, li, 0, False),
+            allowed_sink, allowed_ring, cfg,
+        )
         x = x + lin(attn_out.reshape(bs, Ln, d), "attn", "o")
         if not cfg.pre_ln:
             x = _norm(x, ln("ln1"), cfg)
@@ -1118,25 +1221,25 @@ def apply_streaming(
         x = x + h2
         if not cfg.pre_ln:
             x = _norm(x, ln("ln2"), cfg)
-        return x, ck_all, cv_all
+        return x, ck_sink, cv_sink, ck_ring, cv_ring
 
     if isinstance(params["layers"], list):
         for li in range(cfg.n_layers):
-            x, ck_all, cv_all = layer_step(
-                x, ck_all, cv_all, li, params["layers"][li]
+            x, ck_sink, cv_sink, ck_ring, cv_ring = layer_step(
+                x, ck_sink, cv_sink, ck_ring, cv_ring, li, params["layers"][li]
             )
     else:
         # stacked layout (``stack_layers``): scan over blocks — same math,
         # ~n_layers× smaller program.  The cache rides the scan's xs/ys:
-        # each iteration consumes ONE layer's (bs, cap, kvh, hd) slice and
-        # emits the updated slice, which lax.scan writes into the stacked
-        # output at the iteration index.  Keeping the full stack in the
-        # carry instead measures ~0.3 ms/step slower — XLA copies the whole
-        # (n_layers, ...) buffer around the traced-index update.
+        # each iteration consumes ONE layer's slices and emits the updated
+        # slices, which lax.scan writes into the stacked output at the
+        # iteration index.  Keeping the full stack in the carry instead
+        # measures ~0.3 ms/step slower — XLA copies the whole (n_layers,
+        # ...) buffer around the traced-index update.
         lys = params["layers"]
 
         def body(x, xs):
-            k_l, v_l, li = xs
+            ks_l, vs_l, kr_l, vr_l, li = xs
             lin = lambda h2, g, n: _stacked_linear(h2, lys[g][n], li)
             ln = lambda n: _index_tree(lys[n], li)
             attn_names = lys["attn"]
@@ -1150,21 +1253,30 @@ def apply_streaming(
                 k = lin(h, "attn", "k")
                 v = lin(h, "attn", "v")
             q = q.reshape(bs, Ln, cfg.n_heads, cfg.head_dim)
-            k = k.reshape(bs, Ln, cfg.kv_heads, cfg.head_dim)
-            v = v.reshape(bs, Ln, cfg.kv_heads, cfg.head_dim)
+            k = k.reshape(bs, Ln, kvh, hd)
+            v = v.reshape(bs, Ln, kvh, hd)
             q, k = _rope(q, k, pos_b, cfg)
-            k_l = jax.lax.dynamic_update_slice(
-                k_l, k.astype(k_l.dtype), (0, write_offset, 0, 0)
+            if prefill:
+                if n_sink:
+                    ks_l = k[:, :n_sink].astype(ks_l.dtype)
+                    vs_l = v[:, :n_sink].astype(vs_l.dtype)
+                if n_fr:
+                    kf = k[:, n_sink:].reshape(bs, n_fr, P, kvh, hd)
+                    vf = v[:, n_sink:].reshape(bs, n_fr, P, kvh, hd)
+                    kr_l = kr_l.at[:, :n_fr].set(kf.astype(kr_l.dtype))
+                    vr_l = vr_l.at[:, :n_fr].set(vf.astype(vr_l.dtype))
+            else:
+                kr_l = jax.lax.dynamic_update_slice(
+                    kr_l, k.reshape(bs, 1, P, kvh, hd).astype(kr_l.dtype),
+                    (0, write_slot, 0, 0, 0),
+                )
+                vr_l = jax.lax.dynamic_update_slice(
+                    vr_l, v.reshape(bs, 1, P, kvh, hd).astype(vr_l.dtype),
+                    (0, write_slot, 0, 0, 0),
+                )
+            attn_out = _attention_sink_ring(
+                q, ks_l, vs_l, kr_l, vr_l, allowed_sink, allowed_ring, cfg
             )
-            v_l = jax.lax.dynamic_update_slice(
-                v_l, v.astype(v_l.dtype), (0, write_offset, 0, 0)
-            )
-            kk, vv = k_l.astype(cfg.dtype), v_l.astype(cfg.dtype)
-            if cfg.kv_heads != cfg.n_heads:
-                rep = cfg.n_heads // cfg.kv_heads
-                kk = jnp.repeat(kk, rep, axis=2)
-                vv = jnp.repeat(vv, rep, axis=2)
-            attn_out = _attention_xla(q, kk, vv, allowed, cfg.dtype)
             x = x + lin(attn_out.reshape(bs, Ln, d), "attn", "o")
             if not cfg.pre_ln:
                 x = _norm(x, ln("ln1"), cfg)
@@ -1179,10 +1291,11 @@ def apply_streaming(
             x = x + h2
             if not cfg.pre_ln:
                 x = _norm(x, ln("ln2"), cfg)
-            return x, (k_l, v_l)
+            return x, (ks_l, vs_l, kr_l, vr_l)
 
-        x, (ck_all, cv_all) = jax.lax.scan(
-            body, x, (ck_all, cv_all, jnp.arange(cfg.n_layers)),
+        x, (ck_sink, cv_sink, ck_ring, cv_ring) = jax.lax.scan(
+            body, x,
+            (ck_sink, cv_sink, ck_ring, cv_ring, jnp.arange(cfg.n_layers)),
             unroll=_scan_unroll(),
         )
 
@@ -1190,7 +1303,10 @@ def apply_streaming(
         x = _norm(x, params["final_norm"], cfg)
     if "project_out" in params:
         x = _linear(x, params["project_out"])
-    new_cache = {"k": ck_all, "v": cv_all, "pos": pos, "valid": valid}
+    new_cache = {
+        "k_sink": ck_sink, "v_sink": cv_sink, "sink_pos": sink_pos,
+        "k_ring": ck_ring, "v_ring": cv_ring, "ring_pos": ring_pos,
+    }
     return x, new_cache
 
 

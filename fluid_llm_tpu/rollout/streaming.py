@@ -93,8 +93,7 @@ def generate_streaming(
             f"capacity max_ctx_len={R}; pass at most {R} context states"
         )
     n_sink = (1 if cfg.use_bos_token else 0) + (n_patch if cfg.see_init_state else 0)
-    capacity = n_sink + R * n_patch
-    cache = bb.init_streaming_cache(bcfg, bs, capacity)
+    cache = bb.init_streaming_cache(bcfg, bs, n_sink, R, n_patch)
 
     # static per-dataset spatial ids; absolute time is appended per frame.
     # When the model was trained with ``absolute_time_ids`` the batch's t ids
@@ -138,7 +137,9 @@ def generate_streaming(
     if prefill:
         x0 = jnp.concatenate(prefill, axis=1)
         p0 = jnp.concatenate(prefill_pos).astype(jnp.int32)
-        _, cache = bb.apply_streaming(params["backbone"], bcfg, x0, p0, cache, 0)
+        _, cache = bb.apply_streaming(
+            params["backbone"], bcfg, x0, p0, cache, 0, prefill=True
+        )
 
     # ---- decode steps: append one frame, read its diff --------------------
     def step(carry, i):
@@ -146,9 +147,8 @@ def generate_streaming(
         f = init_len - 1 + i  # frame index being appended
         emb = model.embed_frames(params, state[:, None], frame_pos_ids(f))
         positions = token_base(f) + jnp.arange(n_patch, dtype=jnp.int32)
-        ring_off = n_sink + (f % R) * n_patch
         y, new_cache = bb.apply_streaming(
-            params["backbone"], bcfg, emb, positions, cache, ring_off
+            params["backbone"], bcfg, emb, positions, cache, f % R
         )
         diff_img = model.decode_frame_tokens(params, y)
         diffs = img_to_patch(diff_img[:, None], model.ds_props)[:, 0]

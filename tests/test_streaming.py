@@ -105,17 +105,17 @@ def test_streaming_equals_banded_dense_with_eviction(setup):
     n_sink = 1 + n_patch
 
     # --- streaming: prefill sinks, then append frames one at a time -------
-    capacity = n_sink + R * n_patch
-    cache = bb.init_streaming_cache(bcfg, bs, capacity)
+    cache = bb.init_streaming_cache(bcfg, bs, n_sink, R, n_patch)
     _, cache = bb.apply_streaming(
-        params["backbone"], bcfg, x[:, :n_sink], positions[:n_sink], cache, 0
+        params["backbone"], bcfg, x[:, :n_sink], positions[:n_sink], cache, 0,
+        prefill=True,
     )
     stream_out = []
     for f in range(T):
         lo = n_sink + f * n_patch
         y, cache = bb.apply_streaming(
             params["backbone"], bcfg, x[:, lo:lo + n_patch],
-            positions[lo:lo + n_patch], cache, n_sink + (f % R) * n_patch,
+            positions[lo:lo + n_patch], cache, f % R,
         )
         stream_out.append(np.asarray(y))
 
