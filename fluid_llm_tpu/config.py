@@ -72,12 +72,13 @@ class EncoderConfig:
 class DecoderConfig:
     """Patch-decoder settings (``configs/training1.yaml:54-61``).
 
-    type "MLPGNN" is the reference default; "MLP" is the simple per-patch MLP.
+    type "MLPGNN" is the reference default; "MLP" is the simple per-patch MLP;
+    "CNN" is the Conv1d-over-tokens variant (``patch_decoder.py:22-30``).
     The reference's "MLP0"/"GNN" variants are dead/broken
     (``src/models/layers/GNN/decoders.py:52,102``) and intentionally omitted.
     """
 
-    type: str = "MLPGNN"  # "MLP" | "MLPGNN"
+    type: str = "MLPGNN"  # "MLP" | "CNN" | "MLPGNN"
     gnn_dim: int = 32
     gnn_hid_dim: int = 48
     gnn_layers: int = 3

@@ -83,6 +83,50 @@ def cnn_init(key, in_dim, out_dim, hid_dim, num_layers, zero_last=False) -> list
     return layers
 
 
+def _conv1d_init(key, c_in, c_out, ksize):
+    """torch nn.Conv1d default init: U(+-1/sqrt(c_in*ksize)) for w and b."""
+    wk, bk = jax.random.split(key)
+    fan_in = c_in * ksize
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return {
+        # WIO layout (spatial, in, out) for lax.conv_general_dilated NWC
+        "w": jax.random.uniform(wk, (ksize, c_in, c_out), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(bk, (c_out,), jnp.float32, -bound, bound),
+    }
+
+
+def cnn1d_init(key, in_dim, out_dim, hid_dim, num_layers, zero_last=False) -> list[dict]:
+    """``src/models/layers/CNN.py:4-50`` with ``conv_type='1d'`` (kernel 3,
+    zero padding 1) — the layer stack used by the ``CNN`` patch decoder
+    (``patch_decoder.py:22-30``)."""
+    if num_layers <= 1:
+        return [_conv1d_init(key, in_dim, out_dim, 3)]
+    keys = jax.random.split(key, num_layers)
+    layers = [_conv1d_init(keys[0], in_dim, hid_dim, 3)]
+    for i in range(1, num_layers - 1):
+        layers.append(_conv1d_init(keys[i], hid_dim, hid_dim, 3))
+    last = _conv1d_init(keys[-1], hid_dim, out_dim, 3)
+    if zero_last:
+        last = {"w": jnp.zeros_like(last["w"]), "b": jnp.zeros_like(last["b"])}
+    layers.append(last)
+    return layers
+
+
+def cnn1d_apply(layers: list[dict], x: jnp.ndarray, act: str) -> jnp.ndarray:
+    """x: (batch, length, channels) NWC; returns NWC.  Activation between
+    layers only, like the 2-D stack (``CNN.py:53-57``)."""
+    fn = ACTS[act]
+    for i, p in enumerate(layers):
+        x = jax.lax.conv_general_dilated(
+            x, p["w"].astype(x.dtype),
+            window_strides=(1,), padding="SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + p["b"].astype(x.dtype)
+        if i < len(layers) - 1:
+            x = fn(x)
+    return x
+
+
 def cnn_apply(layers: list[dict], x: jnp.ndarray, act: str, pool_output: bool) -> jnp.ndarray:
     """x: (batch, H, W, C) NHWC; returns NHWC (or (batch, C) if pooled)."""
     fn = ACTS[act]

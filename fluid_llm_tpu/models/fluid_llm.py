@@ -462,6 +462,37 @@ class FluidLLM:
         # tokens WITHIN a layer (a token's drop/keep depends on the other
         # tokens' routing), so the last block must see the full window —
         # run it dense and slice afterwards.
+        if cfg.decoder_params.type == "CNN":
+            # the CNN decoder's Conv1d spans the whole window's token stream
+            # (raw-reshaped, ``patch_decoder.py:44-52``), so frames are not
+            # decoded independently: run the backbone dense and decode the
+            # FULL window, then keep the target frame (exactly the
+            # reference's decode-everything-keep-last, ``model.py:161-166``).
+            out = bb.apply(
+                params["backbone"], self.backbone_cfg, h, token_valid,
+                lora=params.get("lora"), lora_cfg=cfg.lora_config,
+                moe_aux=moe_aux,
+                moe_shardings=self._moe_shardings() if self.backbone_cfg.moe_experts > 0 else None,
+            )
+            if pad_mult and npad:
+                out = out[:, :-npad]
+            if cfg.use_bos_token:
+                out = out[:, 1:]
+            # invalid front frames (right-aligned rollout window) have no
+            # reference counterpart (its deque only holds real frames, at a
+            # different stream length): zero their tokens so the conv's
+            # boundary leakage reads deterministic zeros, not stale state.
+            # Exact once the window is full; documented in PARITY.md.
+            out = jnp.where(
+                jnp.repeat(frame_valid, n_patch, axis=1)[..., None], out, 0.0
+            )
+            all_tokens = out.reshape(bs, seq_len, n_patch, -1)
+            preds = patch_decoder_apply(
+                params["decoder"], all_tokens, self.ds_props, cfg.decoder_params
+            )
+            pred = jax.lax.dynamic_index_in_dim(preds, out_idx, 1, keepdims=False)
+            pred = jnp.transpose(pred, (0, 3, 1, 2)).astype(jnp.float32)
+            return pred * cfg.diff_scale_factor
         if self.backbone_cfg.moe_experts > 0:
             # notf/gen training rollouts run THROUGH this path — EP-sharded
             # MoE needs the expert constraints here just like forward()

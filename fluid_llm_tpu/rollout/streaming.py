@@ -53,6 +53,14 @@ def _check_streaming_compat(model: FluidLLM) -> None:
             "pos_embedding_params.pos_embedding_type: rope_abs (the 'pos' "
             "table is window-re-zeroed and 'rope' normalises by batch max)"
         )
+    if model.cfg.decoder_params.type == "CNN":
+        raise ValueError(
+            "streaming rollout cannot serve the CNN patch decoder: its "
+            "Conv1d spans the whole window's token stream "
+            "(patch_decoder.py:44-52), but streaming decodes one frame's "
+            "tokens at a time — a per-frame conv would silently compute a "
+            "different function than training did; use the exact rollout"
+        )
     if not model.cfg.absolute_time_ids:
         raise ValueError(
             "streaming rollout needs absolute_time_ids: true — a model "

@@ -12,7 +12,12 @@ Request contract (``POST /v1/rollout``, JSON):
 
     {
       "states":     base64 float32 little-endian, shape (ctx, 3, H, W)
-                    RAW grid frames (physical units, not normalized),
+                    RAW grid frames (physical units, not normalized);
+                    EVERY context frame conditions the rollout
+                    (``start_state=ctx``); 1 <= ctx <= the model window
+                    (rejected with 400 otherwise).  ctx=1 programs are
+                    compiled at warmup; other ctx values compile lazily
+                    on first use,
       "shape":      [ctx, 3, H, W],
       "mask":       base64 uint8, shape (H, W) — 1 outside the mesh
                     (boundary/exterior pixels, forced + excluded),
@@ -96,10 +101,9 @@ class RolloutEngine:
             from fluid_llm_tpu.rollout.streaming import gen_seq_streaming as _gen
         else:
             from fluid_llm_tpu.rollout.generate import gen_seq as _gen
+        self._gen = _gen
         for b in self.buckets:
-            self._rollouts[b] = jax.jit(
-                lambda p, batch, _b=b: _gen(self.model, p, batch, _b, start_state=1)
-            )
+            self._get_rollout(b, 1)
 
         self._queue = None
         if self.max_batch > 1:
@@ -108,18 +112,37 @@ class RolloutEngine:
             self._queue = _queue.Queue()
             threading.Thread(target=self._batch_worker, daemon=True).start()
 
+    def _get_rollout(self, bucket: int, ctx: int):
+        """Compiled rollout program for (bucket, ctx) — all ``ctx`` context
+        frames condition the prediction via ``start_state=ctx``.  ctx=1
+        programs are built at startup/warmup; other ctx values compile
+        lazily on first use (logged, since the caller pays the compile)."""
+        key = (bucket, ctx)
+        prog = self._rollouts.get(key)
+        if prog is None:
+            if ctx != 1:
+                logger.info("compiling rollout program bucket=%d ctx=%d (lazy)", bucket, ctx)
+            prog = jax.jit(
+                lambda p, batch, _b=bucket, _c=ctx: self._gen(
+                    self.model, p, batch, _b, start_state=_c
+                )
+            )
+            self._rollouts[key] = prog
+        return prog
+
     # -- batch construction ---------------------------------------------
 
     def build_batch(self, grid_states: np.ndarray, grid_mask: np.ndarray,
                     bucket: int, start_step: int = 0):
         """Raw grid context frames -> the dataset sample tuple, padded on the
         time axis to the bucket's rollout length (the rollout only reads
-        ``states[:, :start_state]``; the tail is geometry for the scan)."""
+        ``states[:, :ctx]``; the tail is geometry for the scan)."""
         from fluid_llm_tpu.data.pipeline import position_ids, window_to_patches
 
         ds = self.dataset
-        seq_m1 = bucket  # ctx_states=1: constraint is bucket <= seq_len-1
         ctx = grid_states.shape[0]
+        # gen_seq requires pred_steps + start_state - 1 <= seq_len-1
+        seq_m1 = bucket + ctx - 1
         # window_to_patches consumes a (seq, 3, H, W) window and emits seq-1
         # input states; pad the time axis with a repeat of the last frame
         # (values beyond the context are never read by the rollout)
@@ -153,13 +176,23 @@ class RolloutEngine:
             raise ValueError(
                 f"states shape {grid_states.shape} != (ctx, 3, {self.grid_hw[0]}, {self.grid_hw[1]})"
             )
+        ctx = grid_states.shape[0]
+        max_ctx = self.model.max_ctx_len
+        if not 1 <= ctx <= max_ctx:
+            # every context frame conditions the rollout (start_state=ctx);
+            # beyond the model window the extra frames could never be seen
+            raise ValueError(
+                f"context length {ctx} not in [1, {max_ctx}] (the model's "
+                f"window; all context frames condition the rollout)"
+            )
         if grid_mask.shape != self.grid_hw:
             raise ValueError(f"mask shape {grid_mask.shape} != {self.grid_hw}")
 
-    def _device_rollout(self, bucket: int, batch) -> np.ndarray:
-        """One (possibly batched) device call -> (bs, bucket+1, 3, H, W)."""
+    def _device_rollout(self, bucket: int, ctx: int, batch) -> np.ndarray:
+        """One (possibly batched) device call -> (bs, ctx+bucket, 3, H, W)."""
+        rollout = self._get_rollout(bucket, ctx)
         with self._lock:
-            pred_states, _ = self._rollouts[bucket](self.params, batch)
+            pred_states, _ = rollout(self.params, batch)
             return np.asarray(pred_states)
 
     def predict(self, grid_states: np.ndarray, grid_mask: np.ndarray,
@@ -167,11 +200,12 @@ class RolloutEngine:
         """(ctx, 3, H, W) raw grid frames -> (pred_steps, 3, H, W) raw preds."""
         self._validate(grid_states, grid_mask)
         bucket = self.pick_bucket(pred_steps)
+        ctx = grid_states.shape[0]
         batch = self.build_batch(grid_states, grid_mask.astype(bool), bucket, start_step)
-        pred_states = self._device_rollout(bucket, batch)
-        # rollout returns [ctx ... preds, final]; drop the context frame and
-        # keep pred_steps predictions (bucket may exceed the request)
-        pred = pred_states[0, 1:pred_steps + 1]
+        pred_states = self._device_rollout(bucket, ctx, batch)
+        # rollout returns [ctx context frames ... preds]; drop the context
+        # and keep pred_steps predictions (bucket may exceed the request)
+        pred = pred_states[0, ctx:ctx + pred_steps]
         return self._to_client_grid(pred)
 
     # -- request coalescing (max_batch > 1) --------------------------------
@@ -210,24 +244,34 @@ class RolloutEngine:
                         fut.set_exception(e)
 
     def _run_group(self, group):
-        """Partition by bucket, one batched device call per bucket."""
-        by_bucket: dict[int, list] = {}
+        """Partition by (bucket, ctx), one batched device call per part.
+
+        Intermediate group sizes (1 < n < max_batch) are PADDED up to
+        ``max_batch`` by repeating the first sample and the results sliced:
+        only batch sizes {1, max_batch} ever reach the device, so a
+        coalesced group can never trigger a cold XLA compile while holding
+        the device lock (warmup covers exactly those sizes)."""
+        by_key: dict[tuple[int, int], list] = {}
         for req in group:
             states, mask, pred_steps, start_step, fut = req
             try:
-                by_bucket.setdefault(self.pick_bucket(pred_steps), []).append(req)
+                key = (self.pick_bucket(pred_steps), states.shape[0])
+                by_key.setdefault(key, []).append(req)
             except ValueError as e:
                 fut.set_exception(e)
-        for bucket, reqs in by_bucket.items():
+        for (bucket, ctx), reqs in by_key.items():
             try:
                 parts = [
                     self.build_batch(s, m.astype(bool), bucket, st)
                     for s, m, _p, st, _f in reqs
                 ]
+                n = len(parts)
+                if 1 < n < self.max_batch:
+                    parts = parts + [parts[0]] * (self.max_batch - n)
                 batch = tuple(np.concatenate(axis_parts, axis=0) for axis_parts in zip(*parts))
-                preds = self._device_rollout(bucket, batch)
+                preds = self._device_rollout(bucket, ctx, batch)
                 for i, (_s, _m, pred_steps, _st, fut) in enumerate(reqs):
-                    fut.set_result(self._to_client_grid(preds[i, 1:pred_steps + 1]))
+                    fut.set_result(self._to_client_grid(preds[i, ctx:ctx + pred_steps]))
             except Exception as e:
                 for *_ignored, fut in reqs:
                     if not fut.done():
@@ -245,6 +289,10 @@ class RolloutEngine:
         return pred * ds.stds[None, :, None, None] + ds.means[None, :, None, None]
 
     def warmup(self):
+        """Compile every program a request can reach without a lazy compile:
+        ctx=1 at batch sizes {1, max_batch} per bucket (coalesced groups are
+        padded to max_batch, so intermediate sizes never hit the device).
+        ctx>1 programs compile lazily on first use."""
         zeros = np.zeros((1, 3, *self.grid_hw), np.float32)
         mask = np.zeros(self.grid_hw, bool)
         for b in self.buckets:
@@ -252,7 +300,7 @@ class RolloutEngine:
                 t0 = time.monotonic()
                 batch = self.build_batch(zeros, mask, b)
                 batch = tuple(np.repeat(a, bs, axis=0) for a in batch)
-                out = self._device_rollout(b, batch)
+                out = self._device_rollout(b, 1, batch)
                 float(out.mean())  # force completion (axon: block_until_ready can return early)
                 logger.info("warm bucket %d bs=%d compiled+ran in %.1fs",
                             b, bs, time.monotonic() - t0)

@@ -178,6 +178,8 @@ def train_run(
     if (
         cfg.save_on
         and save_path
+        and cfg.num_epochs > 0  # a 0-epoch run has no final state to save
+        # (and -1 % k == k-1 would otherwise fire a spurious step_-1 save)
         and cfg.save_model_each > 0
         and (cfg.num_epochs - 1) % cfg.save_model_each != 0
     ):

@@ -22,7 +22,7 @@ from fluid_llm_tpu.train.trainer import Trainer
 TINY = dict(n_layers=2, d_model=64, n_heads=4, d_ff=128, max_pos=128, dropout=0.0)
 
 
-def tiny_setup(seq_len=5, decoder="MLPGNN", use_lora=False, **cfg_kw):
+def tiny_setup(seq_len=5, decoder="MLPGNN", use_lora=False, tiny_overrides=None, **cfg_kw):
     cfg = Config(
         llm_backbone="gpt2",
         half_precision=False,
@@ -44,7 +44,7 @@ def tiny_setup(seq_len=5, decoder="MLPGNN", use_lora=False, **cfg_kw):
         n_trajectories=2, resolution=64, seq_len=seq_len, mode="valid"
     )
     props = ds.ds_props()
-    model = FluidLLM.build(cfg, props, **TINY)
+    model = FluidLLM.build(cfg, props, **{**TINY, **(tiny_overrides or {})})
     batch = next(make_batches(ds, 2, shuffle=False))
     return cfg, ds, props, model, batch
 
@@ -114,7 +114,10 @@ def reference_generate_oracle(model, params, init_states, bc_mask, position_ids,
         wpos = jnp.concatenate(
             [jnp.broadcast_to(spatial, t_ids.shape[:3] + (2,)), t_ids], axis=-1
         )
-        pred = model.forward_see_init(params, window, wpos)
+        if model.cfg.see_init_state:
+            pred = model.forward_see_init(params, window, wpos)
+        else:
+            pred = model.forward(params, window, wpos)
         diffs = img_to_patch(pred[:, -1:], model.ds_props)[:, 0]
         mask = bc_mask[:, pred_step - 1]
         diffs = jnp.where(mask, 0.0, diffs)
@@ -243,6 +246,92 @@ def test_rollout_with_lora_params():
     base.pop("lora")
     st2, _ = generate(model, base, states[:, :1], bc_mask, pos, 3)
     assert not np.allclose(np.asarray(st[:, 1:]), np.asarray(st2[:, 1:]))
+
+
+def test_cnn_decoder_matches_torch_oracle():
+    """CNN decoder forward vs the reference PatchDecoder CNN path
+    (``patch_decoder.py:22-30,44-52`` + ``CNN.py:4``): torch Conv1d stack over
+    the RAW-reshaped token stream, with our weights copied in."""
+    torch = pytest.importorskip("torch")
+    from fluid_llm_tpu.config import DecoderConfig
+    from fluid_llm_tpu.data.ds_props import DSProps
+    from fluid_llm_tpu.models.decoders import patch_decoder_apply, patch_decoder_init
+
+    props = DSProps(Nx_patch=3, Ny_patch=2, patch_size=(4, 4), seq_len=3)
+    llm_dim = props.patch_in_dim  # 48: the CNN type requires out_dim == llm_dim
+    cfg = DecoderConfig(
+        type="CNN", num_layers=3, hidden_dim=32, activation="leakyrelu",
+        zero_last_layer=False,
+    )
+    params = patch_decoder_init(jax.random.PRNGKey(3), llm_dim, props, cfg)
+    bs, seq, n = 2, props.seq_len, props.N_patch
+    tokens = jax.random.normal(jax.random.PRNGKey(4), (bs, seq, n, llm_dim))
+    out = patch_decoder_apply(params, tokens, props, cfg)
+    X, Y = props.out_tot_size
+    assert out.shape == (bs, seq, X, Y, 3)
+
+    # torch oracle
+    convs = []
+    for p in params["cnn"]:
+        c_out, c_in = p["w"].shape[2], p["w"].shape[1]
+        conv = torch.nn.Conv1d(c_in, c_out, kernel_size=3, padding=1)
+        with torch.no_grad():
+            conv.weight.copy_(torch.tensor(np.asarray(p["w"]).transpose(2, 1, 0)))
+            conv.bias.copy_(torch.tensor(np.asarray(p["b"])))
+        convs.append(conv)
+    act = torch.nn.LeakyReLU()
+    x = torch.tensor(np.asarray(tokens)).reshape(bs, seq * n, llm_dim)
+    x = x.reshape(bs, llm_dim, seq * n)  # RAW reshape (patch_decoder.py:46)
+    with torch.no_grad():
+        for i, conv in enumerate(convs):
+            x = conv(x)
+            if i < len(convs) - 1:
+                x = act(x)
+    x = x.reshape(bs, seq * n, llm_dim)  # RAW reshape back (:52)
+    ref = x.reshape(bs, seq, X, Y, 3).numpy()  # caller view (model.py:151)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_cnn_decoder_rejects_dim_mismatch():
+    from fluid_llm_tpu.config import DecoderConfig
+    from fluid_llm_tpu.data.ds_props import DSProps
+    from fluid_llm_tpu.models.decoders import patch_decoder_init
+
+    props = DSProps(Nx_patch=3, Ny_patch=2, patch_size=(4, 4), seq_len=3)
+    with pytest.raises(ValueError, match="patch_in_dim == llm_dim"):
+        patch_decoder_init(
+            jax.random.PRNGKey(0), 64, props, DecoderConfig(type="CNN")
+        )
+
+
+def test_cnn_rollout_full_window_matches_oracle():
+    """With a FULL initial context the window never holds invalid frames, so
+    the CNN full-window rollout decode must match the deque oracle exactly
+    (the partial-window deviation is documented in PARITY.md)."""
+    # see_init off so max_ctx_len == the number of available init frames:
+    # the window is genuinely full from the very first generated step
+    cfg, ds, props, model, batch = tiny_setup(
+        decoder="CNN",
+        see_init_state=False,
+        tiny_overrides=dict(d_model=props_dim_for_cnn(), n_heads=4),
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    states, _, _, bc_mask, pos = batch
+    W = model.max_ctx_len
+    assert states.shape[1] >= W, "test needs a full initial window"
+    n_steps = 3
+    bc_ext = jnp.concatenate([bc_mask] * 3, axis=1)[:, : W + n_steps + 1]
+    st, df = generate(model, params, states[:, :W], bc_ext, pos, n_steps)
+    st_o, df_o = reference_generate_oracle(
+        model, params, states[:, :W], bc_ext, pos, n_steps
+    )
+    np.testing.assert_allclose(np.asarray(st), np.asarray(st_o), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(df_o), atol=5e-4)
+
+
+def props_dim_for_cnn():
+    """llm_dim the CNN decoder requires: patch_in_dim = 16*16*3."""
+    return 768
 
 
 @pytest.mark.parametrize("see_init,bos", [(False, True), (True, False), (False, False)])

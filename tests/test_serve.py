@@ -90,7 +90,9 @@ def test_request_coalescing_matches_unbatched(engine):
 
     calls = []
     orig = batched._device_rollout
-    batched._device_rollout = lambda b, batch: calls.append(batch[0].shape[0]) or orig(b, batch)
+    batched._device_rollout = (
+        lambda b, c, batch: calls.append(batch[0].shape[0]) or orig(b, c, batch)
+    )
 
     with ThreadPoolExecutor(3) as pool:
         futs = [
@@ -103,8 +105,39 @@ def test_request_coalescing_matches_unbatched(engine):
     np.testing.assert_allclose(out[0], eng.predict(grid, mask, 3), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(out[1], eng.predict(grid2, mask, 2), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(out[2], eng.predict(grid, mask, 5), rtol=1e-4, atol=1e-5)
-    # the two bucket-3 requests shared one batched device call
-    assert sorted(calls) == [1, 2]
+    # the two bucket-3 requests shared one batched device call, PADDED to
+    # max_batch so only pre-warmed batch sizes ever reach the device
+    assert sorted(calls) == [1, 3]
+
+
+def test_multi_frame_context_conditions_rollout(engine):
+    """ctx>1: every context frame conditions the prediction
+    (start_state=ctx wired through the compiled programs)."""
+    import jax.numpy as jnp
+    from fluid_llm_tpu.rollout.generate import gen_seq
+
+    eng, ds = engine
+    grid, mask = _client_frames(ds, n=2)
+    pred = eng.predict(grid, mask, pred_steps=2)
+    assert pred.shape == (2, 3, *grid.shape[-2:])
+    assert np.isfinite(pred).all()
+    # must equal the underlying rollout with start_state=2 on the same batch
+    batch = eng.build_batch(grid, mask.astype(bool), bucket=3)
+    st, _ = gen_seq(
+        eng.model, eng.params, tuple(jnp.asarray(a) for a in batch), 3,
+        start_state=2,
+    )
+    ref = eng._to_client_grid(np.asarray(st)[0, 2:4])
+    np.testing.assert_allclose(pred, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_rejects_oversized_context(engine):
+    eng, ds = engine
+    W = eng.model.max_ctx_len
+    grid, mask = _client_frames(ds, n=1)
+    too_long = np.repeat(grid, W + 1, axis=0)
+    with pytest.raises(ValueError, match="context length"):
+        eng.predict(too_long, mask, pred_steps=2)
 
 
 def test_http_round_trip(engine):
