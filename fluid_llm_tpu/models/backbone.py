@@ -1010,15 +1010,24 @@ def init_streaming_cache(
     Overwritten slots simply get the new frame's (k, v, pos) — the mask
     ``pos <= q_pos`` stays correct because every resident token precedes the
     incoming queries.
+
+    Head layout (r4): the head dims are stored FOLDED — ``(..., kvh*hd)``,
+    token-major with head ``h`` at columns ``[h*hd, (h+1)*hd)`` (exactly the
+    packed qkv-projection output).  The previously-unfolded ``(kvh, hd)``
+    minor dims tiled to ``(16, 128)`` on TPU — a 2.67x physical padding that
+    amplified every cache read of the read-bound decode step; folded, the
+    minor dims ``(frame_tokens, kvh*hd)`` tile at ~1.07x.  This is also the
+    in-place layout the Pallas decode-attention kernel consumes
+    (``ops/decode_attention.py``).
     """
-    kvh, hd = cfg.kv_heads, cfg.head_dim
+    kvd = cfg.kv_heads * cfg.head_dim
     L = cfg.n_layers
     return {
-        "k_sink": jnp.zeros((L, bs, n_sink, kvh, hd), cfg.dtype),
-        "v_sink": jnp.zeros((L, bs, n_sink, kvh, hd), cfg.dtype),
+        "k_sink": jnp.zeros((L, bs, n_sink, kvd), cfg.dtype),
+        "v_sink": jnp.zeros((L, bs, n_sink, kvd), cfg.dtype),
         "sink_pos": jnp.full((n_sink,), -1, jnp.int32),
-        "k_ring": jnp.zeros((L, bs, n_frames, frame_tokens, kvh, hd), cfg.dtype),
-        "v_ring": jnp.zeros((L, bs, n_frames, frame_tokens, kvh, hd), cfg.dtype),
+        "k_ring": jnp.zeros((L, bs, n_frames, frame_tokens, kvd), cfg.dtype),
+        "v_ring": jnp.zeros((L, bs, n_frames, frame_tokens, kvd), cfg.dtype),
         "ring_pos": jnp.full((n_frames,), -1, jnp.int32),
     }
 
@@ -1027,17 +1036,23 @@ def _attention_sink_ring(q, k_sink, v_sink, k_ring, v_ring,
                          allowed_sink, allowed_ring, cfg: BackboneConfig):
     """Attention over [sinks; ring] WITHOUT materialising their concat.
 
-    q: (bs, Ln, H, hd); sinks: (bs, S, kvh, hd); ring: (bs, F, P, kvh, hd);
-    allowed_sink: (1, 1, Ln, S); allowed_ring: (1, 1, Ln, F·P).  Two QK^T
-    pieces share one softmax over the concatenated f32 logits (small), so
-    the only K/V traffic is the intrinsic cache read — a K/V concat would
-    copy the whole cache every decode step.
+    q: (bs, Ln, H, hd); sinks: (bs, S, kvh*hd) folded; ring:
+    (bs, F, P, kvh*hd) folded; allowed_sink: (1, 1, Ln, S); allowed_ring:
+    (1, 1, Ln, F·P).  Two QK^T pieces share one softmax over the
+    concatenated f32 logits (small), so the only K/V traffic is the
+    intrinsic cache read — a K/V concat would copy the whole cache every
+    decode step.  (XLA fallback path; TPU decode dispatches to the Pallas
+    kernel in ``ops/decode_attention.py`` that reads the folded cache in
+    place.)
     """
     bs = q.shape[0]
+    kvh, hd = cfg.kv_heads, cfg.head_dim
     S = k_sink.shape[1]
     F, P = k_ring.shape[1:3]
-    kk_r = k_ring.reshape(bs, F * P, *k_ring.shape[-2:])
-    vv_r = v_ring.reshape(bs, F * P, *v_ring.shape[-2:])
+    kk_r = k_ring.reshape(bs, F * P, kvh, hd)
+    vv_r = v_ring.reshape(bs, F * P, kvh, hd)
+    k_sink = k_sink.reshape(bs, S, kvh, hd)
+    v_sink = v_sink.reshape(bs, S, kvh, hd)
     if cfg.kv_heads != cfg.n_heads:
         rep = cfg.n_heads // cfg.kv_heads
         kk_r, vv_r = jnp.repeat(kk_r, rep, axis=2), jnp.repeat(vv_r, rep, axis=2)
@@ -1149,6 +1164,17 @@ def apply_streaming(
     ck_sink, cv_sink = cache["k_sink"], cache["v_sink"]
     ck_ring, cv_ring = cache["k_ring"], cache["v_ring"]
 
+    # Pallas decode-attention over the folded cache (unrolled layout only —
+    # the stacked scan's traced layer index cannot be baked into BlockSpecs)
+    from fluid_llm_tpu.ops import decode_attention as _da
+
+    use_dk, dk_interp = (False, False)
+    if not prefill and isinstance(params["layers"], list):
+        use_dk, dk_interp = _da.use_kernel(cfg, n_sink)
+    if use_dk:
+        dk_key_pos = _da.build_key_pos(ring_pos, sink_pos, P)
+        dk_q0 = new_positions[:1].reshape(1, 1)
+
     def layer_step(x, ck_sink, cv_sink, ck_ring, cv_ring, li, lp):
         # unrolled (list-layout) path only — the stacked layout runs the
         # separate lax.scan ``body`` below
@@ -1170,32 +1196,42 @@ def apply_streaming(
 
         if prefill:
             if n_sink:
-                ck_sink = ck_sink.at[li].set(k[:, :n_sink].astype(ck_sink.dtype))
-                cv_sink = cv_sink.at[li].set(v[:, :n_sink].astype(cv_sink.dtype))
+                ks = k[:, :n_sink].reshape(bs, n_sink, kv_dim)
+                vs = v[:, :n_sink].reshape(bs, n_sink, kv_dim)
+                ck_sink = ck_sink.at[li].set(ks.astype(ck_sink.dtype))
+                cv_sink = cv_sink.at[li].set(vs.astype(cv_sink.dtype))
             if n_fr:
-                kf = k[:, n_sink:].reshape(bs, n_fr, P, kvh, hd)
-                vf = v[:, n_sink:].reshape(bs, n_fr, P, kvh, hd)
+                kf = k[:, n_sink:].reshape(bs, n_fr, P, kv_dim)
+                vf = v[:, n_sink:].reshape(bs, n_fr, P, kv_dim)
                 ck_ring = ck_ring.at[li, :, :n_fr].set(kf.astype(ck_ring.dtype))
                 cv_ring = cv_ring.at[li, :, :n_fr].set(vf.astype(cv_ring.dtype))
         else:
             ck_ring = jax.lax.dynamic_update_slice(
-                ck_ring, k.reshape(bs, 1, P, kvh, hd).astype(ck_ring.dtype)[None],
-                (li, 0, write_slot, 0, 0, 0),
+                ck_ring, k.reshape(bs, 1, P, kv_dim).astype(ck_ring.dtype)[None],
+                (li, 0, write_slot, 0, 0),
             )
             cv_ring = jax.lax.dynamic_update_slice(
-                cv_ring, v.reshape(bs, 1, P, kvh, hd).astype(cv_ring.dtype)[None],
-                (li, 0, write_slot, 0, 0, 0),
+                cv_ring, v.reshape(bs, 1, P, kv_dim).astype(cv_ring.dtype)[None],
+                (li, 0, write_slot, 0, 0),
             )
 
-        attn_out = _attention_sink_ring(
-            q,
-            jax.lax.dynamic_index_in_dim(ck_sink, li, 0, False),
-            jax.lax.dynamic_index_in_dim(cv_sink, li, 0, False),
-            jax.lax.dynamic_index_in_dim(ck_ring, li, 0, False),
-            jax.lax.dynamic_index_in_dim(cv_ring, li, 0, False),
-            allowed_sink, allowed_ring, cfg,
-        )
-        x = x + lin(attn_out.reshape(bs, Ln, d), "attn", "o")
+        if use_dk:
+            attn_flat = _da.sink_ring_decode(
+                q.reshape(bs, Ln, cfg.n_heads * hd),
+                ck_sink, cv_sink, ck_ring, cv_ring,
+                dk_key_pos, dk_q0, li, hd, interpret=dk_interp,
+            )
+        else:
+            attn_out = _attention_sink_ring(
+                q,
+                jax.lax.dynamic_index_in_dim(ck_sink, li, 0, False),
+                jax.lax.dynamic_index_in_dim(cv_sink, li, 0, False),
+                jax.lax.dynamic_index_in_dim(ck_ring, li, 0, False),
+                jax.lax.dynamic_index_in_dim(cv_ring, li, 0, False),
+                allowed_sink, allowed_ring, cfg,
+            )
+            attn_flat = attn_out.reshape(bs, Ln, d)
+        x = x + lin(attn_flat, "attn", "o")
         if not cfg.pre_ln:
             x = _norm(x, ln("ln1"), cfg)
 
@@ -1258,21 +1294,21 @@ def apply_streaming(
             q, k = _rope(q, k, pos_b, cfg)
             if prefill:
                 if n_sink:
-                    ks_l = k[:, :n_sink].astype(ks_l.dtype)
-                    vs_l = v[:, :n_sink].astype(vs_l.dtype)
+                    ks_l = k[:, :n_sink].reshape(bs, n_sink, kv_dim).astype(ks_l.dtype)
+                    vs_l = v[:, :n_sink].reshape(bs, n_sink, kv_dim).astype(vs_l.dtype)
                 if n_fr:
-                    kf = k[:, n_sink:].reshape(bs, n_fr, P, kvh, hd)
-                    vf = v[:, n_sink:].reshape(bs, n_fr, P, kvh, hd)
+                    kf = k[:, n_sink:].reshape(bs, n_fr, P, kv_dim)
+                    vf = v[:, n_sink:].reshape(bs, n_fr, P, kv_dim)
                     kr_l = kr_l.at[:, :n_fr].set(kf.astype(kr_l.dtype))
                     vr_l = vr_l.at[:, :n_fr].set(vf.astype(vr_l.dtype))
             else:
                 kr_l = jax.lax.dynamic_update_slice(
-                    kr_l, k.reshape(bs, 1, P, kvh, hd).astype(kr_l.dtype),
-                    (0, write_slot, 0, 0, 0),
+                    kr_l, k.reshape(bs, 1, P, kv_dim).astype(kr_l.dtype),
+                    (0, write_slot, 0, 0),
                 )
                 vr_l = jax.lax.dynamic_update_slice(
-                    vr_l, v.reshape(bs, 1, P, kvh, hd).astype(vr_l.dtype),
-                    (0, write_slot, 0, 0, 0),
+                    vr_l, v.reshape(bs, 1, P, kv_dim).astype(vr_l.dtype),
+                    (0, write_slot, 0, 0),
                 )
             attn_out = _attention_sink_ring(
                 q, ks_l, vs_l, kr_l, vr_l, allowed_sink, allowed_ring, cfg

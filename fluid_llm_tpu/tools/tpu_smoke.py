@@ -190,6 +190,66 @@ def check_streaming(n_steps: int = 6) -> None:
     print(f"streaming rollout OK on {jax.default_backend()} ({n_steps} steps)")
 
 
+def check_decode_attention(S: int = 61, F: int = 10, P: int = 60,
+                           H: int = 12, hd: int = 64) -> None:
+    """Pallas sink+ring decode-attention kernel (``ops/decode_attention``)
+    vs the XLA two-piece path at the production streaming geometry (61
+    sinks, 10-frame ring of 60-token slabs, 12 heads of 64) — one slot left
+    unwritten and the query frame resident, so validity masking, intra-frame
+    causality, and the in-place stacked-cache reads all qualify on the real
+    Mosaic toolchain."""
+    import jax
+    import jax.numpy as jnp
+
+    from fluid_llm_tpu.models import backbone as bb
+    from fluid_llm_tpu.ops import decode_attention as da
+
+    rng = np.random.default_rng(1)
+    L, bs, D = 2, 1, H * hd
+    mk = lambda *s: jnp.asarray(
+        (rng.normal(size=s) * 0.5).astype(np.float32), jnp.bfloat16
+    )
+    q_flat = mk(bs, P, D)
+    k_sink, v_sink = mk(L, bs, S, D), mk(L, bs, S, D)
+    k_ring, v_ring = mk(L, bs, F, P, D), mk(L, bs, F, P, D)
+
+    sink_pos = jnp.arange(S, dtype=jnp.int32)
+    ring_np = np.full(F, -1, np.int32)
+    for f in range(F - 1):  # slot F-1 never written (validity mask live)
+        ring_np[f] = S + f * P
+    q0 = int(ring_np[F - 2])  # queries are the newest resident frame
+    ring_pos = jnp.asarray(ring_np)
+
+    cfg = bb.BackboneConfig(
+        family="llama", n_layers=L, d_model=D, n_heads=H, d_ff=4 * D,
+        pos="rope", dtype=jnp.bfloat16,
+    )
+    qpos = q0 + jnp.arange(P, dtype=jnp.int32)
+    allowed_sink = (
+        (sink_pos >= 0)[None, :] & (sink_pos[None, :] <= qpos[:, None])
+    )[None, None]
+    key_pos = ring_pos[:, None] + jnp.arange(P, dtype=jnp.int32)[None, :]
+    allowed_ring = (
+        (ring_pos >= 0)[None, :, None] & (key_pos[None] <= qpos[:, None, None])
+    ).reshape(P, F * P)[None, None]
+
+    li = 1
+    ref = bb._attention_sink_ring(
+        q_flat.reshape(bs, P, H, hd), k_sink[li], v_sink[li],
+        k_ring[li], v_ring[li], allowed_sink, allowed_ring, cfg,
+    ).reshape(bs, P, D)
+    out = da.sink_ring_decode(
+        q_flat, k_sink, v_sink, k_ring, v_ring,
+        da.build_key_pos(ring_pos, sink_pos, P),
+        jnp.full((1, 1), q0, jnp.int32), li, hd,
+    )
+    ref32 = np.asarray(ref, np.float32)
+    out32 = np.asarray(out, np.float32)
+    err = np.abs(out32 - ref32).max() / (np.abs(ref32).max() + 1e-9)
+    assert err < 3e-2, f"decode-attention kernel mismatch: rel err {err:.3e}"
+    print(f"decode_attention kernel OK on {jax.default_backend()} (rel err {err:.2e})")
+
+
 def check_moe(L: int = 661, E: int = 8, top_k: int = 2) -> None:
     """MoE routed MLP on hardware vs a per-token numpy oracle (f32).
 
@@ -261,6 +321,7 @@ def run_checks(only: str | None = None) -> dict:
         ("grid_gnn", lambda: check_grid_gnn(16)),
         ("grid_gnn_mh", lambda: check_grid_gnn(16, heads=2, cdim=24)),
         ("indexed_linear", check_indexed_linear),
+        ("decode_attention", lambda: check_decode_attention()),
         ("streaming", lambda: check_streaming()),
         ("moe", lambda: check_moe()),
     )
@@ -285,7 +346,7 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("only", nargs="?", default=None,
                         choices=[None, "flash", "grid_gnn", "grid_gnn_mh", "indexed_linear",
-                                 "streaming", "moe"])
+                                 "decode_attention", "streaming", "moe"])
     parser.add_argument("--json", default=None, help="write results to PATH")
     args = parser.parse_args()
 

@@ -260,6 +260,39 @@ def test_absolute_time_exact_rollout_matches_oracle():
     )
 
 
+def test_decode_attention_kernel_matches_xla(monkeypatch):
+    """The Pallas decode-attention kernel (interpret mode on CPU) must equal
+    the XLA sink+ring attention through the full streaming rollout,
+    including ring eviction.  Needs head_dim>=32 and n_heads*hd % 128 == 0
+    (``ops/decode_attention.supported``), so a wider tiny model."""
+    cfg, ds, _, batch = llama_setup()
+    model = FluidLLM.build(
+        cfg, ds.ds_props(), n_layers=2, d_model=128, n_heads=4, d_ff=128,
+        max_pos=4096, dropout=0.0,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    states, _, _, bc_mask, pos_ids = batch
+    n_steps = model.max_ctx_len + 2  # slides: eviction + slot rewrite covered
+
+    from fluid_llm_tpu.ops import decode_attention as da
+    assert da.supported(model.backbone_cfg, 1 + states.shape[2])
+
+    monkeypatch.setenv("FLUID_STREAM_ATTN", "xla")
+    ref_states, ref_diffs = generate_streaming(
+        model, params, states[:, :1], bc_mask, pos_ids, n_steps
+    )
+    monkeypatch.setenv("FLUID_STREAM_ATTN", "interpret")
+    got_states, got_diffs = generate_streaming(
+        model, params, states[:, :1], bc_mask, pos_ids, n_steps
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_states), np.asarray(ref_states), atol=2e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_diffs), np.asarray(ref_diffs), atol=2e-5, rtol=1e-5
+    )
+
+
 def test_streaming_sharded_matches_single(setup):
     """Streaming serving composes with the device mesh: params sharded over
     (data, fsdp, model) produce the same rollout (tensor-parallel serving —
