@@ -75,7 +75,23 @@ def bench_train():
     batch = next(make_batches(ds, cfg.batch_size, shuffle=False))
     assert batch[0].shape[0] == cfg.batch_size, batch[0].shape
     trainer = Trainer(model)
-    state = trainer.init_state(jax.random.PRNGKey(0))
+    if os.environ.get("FLUID_BENCH_QUANT"):
+        # quantized frozen-backbone training (the reference's QLoRA regime,
+        # ``model.py:51``): FLUID_BENCH_QUANT=nf4|int8 — adapters train
+        # against quantized weight storage (main.py's llm_4bit_loading route)
+        from fluid_llm_tpu.ops.quant import quantize_backbone
+        from fluid_llm_tpu.train.optim import partition
+        from fluid_llm_tpu.train.trainer import TrainState
+
+        params = model.init(jax.random.PRNGKey(0))
+        params["backbone"] = quantize_backbone(
+            params["backbone"], mode=os.environ["FLUID_BENCH_QUANT"]
+        )
+        trainable, frozen = partition(params, model.trainable_mask(params))
+        state = TrainState(trainable=trainable, frozen=frozen,
+                           opt_state=trainer.opt.init(trainable))
+    else:
+        state = trainer.init_state(jax.random.PRNGKey(0))
     rng = jax.random.PRNGKey(1)
 
     step = trainer.train_step_autoreg

@@ -64,7 +64,11 @@ def build_dataset(args, mode, window):
         from fluid_llm_tpu.data.synthetic import SyntheticCylinderDataset
 
         if args.dataset_path == "synthetic":
-            src = SyntheticCylinderDataset(n_trajectories=args.n_traj, resolution=args.resolution, mode=mode)
+            kw = {"max_steps": args.max_steps} if args.max_steps else {}
+            src = SyntheticCylinderDataset(
+                n_trajectories=args.n_traj, resolution=args.resolution,
+                mode=mode, **kw,
+            )
         else:
             from fluid_llm_tpu.data.cylinder import MGNDataset
 
@@ -342,6 +346,10 @@ def main(argv=None):
     parser.add_argument("--noise_std", type=float, default=2e-2)
     parser.add_argument("--resolution", type=int, default=238)
     parser.add_argument("--n_traj", type=int, default=4, help="synthetic trajectories")
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="synthetic trajectory length in frames (default "
+                             "200; the reference's real DeepMind trajectories "
+                             "run ~600 — used by the DRN length ablation)")
     parser.add_argument("--name", default="run")
     parser.add_argument("--save_dir", default="trained_models")
     args = parser.parse_args(argv)

@@ -787,6 +787,17 @@ def apply(
     # OPT/GPT2 apply dropout to the embedding stream
     x = dropout(x, drop_keys[0])
 
+    # Pallas exact-window attention (``ops/exact_attention.py``): packed
+    # q/k/v consumed straight from the projections, one launch per layer,
+    # query-block triangle skipping.  Engaged on TPU for full-head models
+    # at window length; an allowed_override (banded oracle) or ring spec
+    # forces XLA above, train-mode gradients route through its custom_vjp.
+    from fluid_llm_tpu.ops import exact_attention as _xa
+
+    use_xk, xk_interp = (False, False)
+    if allowed_override is None and ring_spec is None and not train:
+        use_xk, xk_interp = _xa.use_kernel(cfg, L)
+
     def block(x, layer_params, layer_lora, dk0, dk1):
         def lin(h, group, name):
             ad = None
@@ -816,17 +827,34 @@ def apply(
             q = lin(h, "attn", "q")
             k = lin(h, "attn", "k")
             v = lin(h, "attn", "v")
-        q = q.reshape(bs, L, cfg.n_heads, cfg.head_dim)
-        k = k.reshape(bs, L, cfg.kv_heads, cfg.head_dim)
-        v = v.reshape(bs, L, cfg.kv_heads, cfg.head_dim)
-        if cfg.pos == "rope":
-            q, k = _rope(q, k, positions, cfg)
-        if cfg.kv_heads != cfg.n_heads:
-            rep = cfg.n_heads // cfg.kv_heads
-            k = jnp.repeat(k, rep, axis=2)
-            v = jnp.repeat(v, rep, axis=2)
-        attn_out = _sdpa(q, k, v, allowed, valid, cfg, ring_spec=ring_spec)
-        attn_out = attn_out.reshape(bs, L, d)
+        if use_xk and cfg.pos != "rope":
+            # packed path: q/k/v go to the kernel exactly as the projections
+            # emitted them — no (bs, L, H, hd) relayout at all
+            attn_out = _xa.causal_attention(
+                q, k, v, valid.astype(jnp.int32),
+                cfg.n_heads, cfg.head_dim, xk_interp,
+            )
+        else:
+            q = q.reshape(bs, L, cfg.n_heads, cfg.head_dim)
+            k = k.reshape(bs, L, cfg.kv_heads, cfg.head_dim)
+            v = v.reshape(bs, L, cfg.kv_heads, cfg.head_dim)
+            if cfg.pos == "rope":
+                q, k = _rope(q, k, positions, cfg)
+            if use_xk:
+                # rope models: fold the rope'd heads back into the packed
+                # layout (one relayout — the XLA einsum path pays the same)
+                attn_out = _xa.causal_attention(
+                    q.reshape(bs, L, d), k.reshape(bs, L, d),
+                    v.reshape(bs, L, d), valid.astype(jnp.int32),
+                    cfg.n_heads, cfg.head_dim, xk_interp,
+                )
+            else:
+                if cfg.kv_heads != cfg.n_heads:
+                    rep = cfg.n_heads // cfg.kv_heads
+                    k = jnp.repeat(k, rep, axis=2)
+                    v = jnp.repeat(v, rep, axis=2)
+                attn_out = _sdpa(q, k, v, allowed, valid, cfg, ring_spec=ring_spec)
+                attn_out = attn_out.reshape(bs, L, d)
         attn_out = lin(attn_out, "attn", "o")
         x = x + dropout(attn_out, dk0)
         if not cfg.pre_ln:
@@ -986,96 +1014,83 @@ def _final_block_sliced(x, layer_params, layer_lora, cfg: BackboneConfig,
 # --------------------------------------------------------------------------
 
 
+def _slab_tokens(frame_tokens: int, n_sink: int) -> int:
+    """Tokens per cache slab: the frame size (and the sink count, which
+    shares the unified buffer) rounded up to the 16-sublane tile."""
+    return max(-(-frame_tokens // 16) * 16, -(-max(n_sink, 1) // 16) * 16)
+
+
 def init_streaming_cache(
     cfg: BackboneConfig, bs: int, n_sink: int, n_frames: int, frame_tokens: int
 ) -> Params:
-    """Fixed-shape per-layer K/V cache: pinned sinks + a frame-slab ring.
+    """Fixed-shape per-layer K/V cache: ONE buffer of tile-aligned slabs.
 
-    Two buffers instead of one flat token ring:
+    ``k``/``v``: ``(L, bs, n_frames+1, P̂, kvh*hd)`` where ``P̂`` is
+    ``frame_tokens`` rounded up to the 16-sublane tile.  Slots
+    ``0..n_frames-1`` are the frame ring — each decode step overwrites ONE
+    whole slab at a dynamic index on the major slot dim (a contiguous,
+    tile-aligned store; the flat token ring this design replaced updated 60
+    tokens at a tile-unaligned minor-dim offset, which lowers to a
+    read-modify-write of every straddled tile — measured ~37 % of the
+    streaming step).  Slot ``n_frames`` holds the pinned attention sinks,
+    written once at prefill (``n_sink <= P̂`` by construction).
 
-    - ``k_sink``/``v_sink`` ``(L, bs, n_sink, kvh, hd)`` — written once at
-      prefill, read-only afterwards;
-    - ``k_ring``/``v_ring`` ``(L, bs, n_frames, frame_tokens, kvh, hd)`` —
-      each decode step overwrites ONE whole frame slab at a dynamic index on
-      the major ``n_frames`` dim.  The flat layout this replaces updated 60
-      tokens at a tile-unaligned dynamic offset inside the minor sequence
-      dim, which Mosaic/XLA lowers to a read-modify-write of every straddled
-      tile (~50× write amplification, measured ~37 % of the streaming step);
-      a full-slab update at a major-dim index is a contiguous store.
+    Three deliberate layout choices, all for the read-bound decode step:
+
+    - head dims FOLDED ``(..., kvh*hd)`` with head ``h`` at columns
+      ``[h*hd, (h+1)*hd)`` (the packed qkv-projection output): unfolded
+      ``(12, 64)`` minor dims physically tile to ``(16, 128)`` — 2.67×
+      padding on every cache byte;
+    - slabs padded to ``P̂`` tokens: a ``(P̂, kvh*hd)`` slab is an exact
+      sublane-tile multiple, so flattening ``(slots, P̂)`` into one key axis
+      is layout-trivial — the Pallas kernel (``ops/decode_attention.py``)
+      reads the whole buffer as ``(slots*P̂, lanes)`` with zero relayout;
+    - sinks IN the same buffer: the kernel needs no second input or concat.
 
     ``sink_pos`` holds each sink token's absolute position; ``ring_pos``
-    holds each slot's FIRST-token position (-1 = never written) — tokens
-    within a frame are consecutive by contract (``apply_streaming``), so the
-    per-key positions are ``ring_pos[:, None] + arange(frame_tokens)``.
-    Overwritten slots simply get the new frame's (k, v, pos) — the mask
-    ``pos <= q_pos`` stays correct because every resident token precedes the
-    incoming queries.
-
-    Head layout (r4): the head dims are stored FOLDED — ``(..., kvh*hd)``,
-    token-major with head ``h`` at columns ``[h*hd, (h+1)*hd)`` (exactly the
-    packed qkv-projection output).  The previously-unfolded ``(kvh, hd)``
-    minor dims tiled to ``(16, 128)`` on TPU — a 2.67x physical padding that
-    amplified every cache read of the read-bound decode step; folded, the
-    minor dims ``(frame_tokens, kvh*hd)`` tile at ~1.07x.  This is also the
-    in-place layout the Pallas decode-attention kernel consumes
-    (``ops/decode_attention.py``).
+    holds each ring slot's FIRST-token position (-1 = never written) —
+    tokens within a frame are consecutive by contract (``apply_streaming``),
+    so per-key positions are ``ring_pos[:, None] + arange(P̂)`` with rows
+    ``>= frame_tokens`` (the pad) invalid.  Overwritten slots simply get the
+    new frame's (k, v, pos) — the mask ``pos <= q_pos`` stays correct
+    because every resident token precedes the incoming queries.
     """
     kvd = cfg.kv_heads * cfg.head_dim
     L = cfg.n_layers
+    pp = _slab_tokens(frame_tokens, n_sink)
+    if n_sink > pp:
+        raise ValueError(f"n_sink={n_sink} exceeds the slab size {pp}")
     return {
-        "k_sink": jnp.zeros((L, bs, n_sink, kvd), cfg.dtype),
-        "v_sink": jnp.zeros((L, bs, n_sink, kvd), cfg.dtype),
+        "k": jnp.zeros((L, bs, n_frames + 1, pp, kvd), cfg.dtype),
+        "v": jnp.zeros((L, bs, n_frames + 1, pp, kvd), cfg.dtype),
         "sink_pos": jnp.full((n_sink,), -1, jnp.int32),
-        "k_ring": jnp.zeros((L, bs, n_frames, frame_tokens, kvd), cfg.dtype),
-        "v_ring": jnp.zeros((L, bs, n_frames, frame_tokens, kvd), cfg.dtype),
         "ring_pos": jnp.full((n_frames,), -1, jnp.int32),
     }
 
 
-def _attention_sink_ring(q, k_sink, v_sink, k_ring, v_ring,
-                         allowed_sink, allowed_ring, cfg: BackboneConfig):
-    """Attention over [sinks; ring] WITHOUT materialising their concat.
+def _attention_slabs(q, k_slabs, v_slabs, allowed, cfg: BackboneConfig):
+    """XLA fallback attention over the unified slab cache.
 
-    q: (bs, Ln, H, hd); sinks: (bs, S, kvh*hd) folded; ring:
-    (bs, F, P, kvh*hd) folded; allowed_sink: (1, 1, Ln, S); allowed_ring:
-    (1, 1, Ln, F·P).  Two QK^T pieces share one softmax over the
-    concatenated f32 logits (small), so the only K/V traffic is the
-    intrinsic cache read — a K/V concat would copy the whole cache every
-    decode step.  (XLA fallback path; TPU decode dispatches to the Pallas
-    kernel in ``ops/decode_attention.py`` that reads the folded cache in
-    place.)
+    q: (bs, Ln, H, hd); slabs: (bs, slots, P̂, kvh*hd) folded; allowed:
+    (1, 1, Ln, slots*P̂) — pad rows and unwritten slots are already masked
+    off by the caller's key-position row.  (TPU decode dispatches to the
+    Pallas kernel in ``ops/decode_attention.py`` that reads the slabs in
+    place; this path serves prefill, CPU, and unsupported head shapes.)
     """
     bs = q.shape[0]
     kvh, hd = cfg.kv_heads, cfg.head_dim
-    S = k_sink.shape[1]
-    F, P = k_ring.shape[1:3]
-    kk_r = k_ring.reshape(bs, F * P, kvh, hd)
-    vv_r = v_ring.reshape(bs, F * P, kvh, hd)
-    k_sink = k_sink.reshape(bs, S, kvh, hd)
-    v_sink = v_sink.reshape(bs, S, kvh, hd)
+    slots, pp = k_slabs.shape[1:3]
+    kk = k_slabs.reshape(bs, slots * pp, kvh, hd)
+    vv = v_slabs.reshape(bs, slots * pp, kvh, hd)
     if cfg.kv_heads != cfg.n_heads:
         rep = cfg.n_heads // cfg.kv_heads
-        kk_r, vv_r = jnp.repeat(kk_r, rep, axis=2), jnp.repeat(vv_r, rep, axis=2)
-        k_sink = jnp.repeat(k_sink, rep, axis=2)
-        v_sink = jnp.repeat(v_sink, rep, axis=2)
+        kk, vv = jnp.repeat(kk, rep, axis=2), jnp.repeat(vv, rep, axis=2)
     scale = q.shape[-1] ** -0.5
-    lg_r = jnp.einsum("bqhd,bkhd->bhqk", q, kk_r.astype(cfg.dtype),
-                      preferred_element_type=jnp.float32)
-    if S:
-        lg_s = jnp.einsum("bqhd,bkhd->bhqk", q, k_sink.astype(cfg.dtype),
-                          preferred_element_type=jnp.float32)
-        logits = jnp.concatenate([lg_s, lg_r], axis=-1)
-        allowed = jnp.concatenate([allowed_sink, allowed_ring], axis=-1)
-    else:
-        logits, allowed = lg_r, allowed_ring
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, kk.astype(cfg.dtype),
+                        preferred_element_type=jnp.float32)
     logits = jnp.where(allowed, logits * scale, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
-    if S:
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs[..., :S], v_sink.astype(cfg.dtype))
-        out = out + jnp.einsum("bhqk,bkhd->bqhd", probs[..., S:], vv_r.astype(cfg.dtype))
-    else:
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vv_r.astype(cfg.dtype))
-    return out
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, vv.astype(cfg.dtype))
 
 
 def apply_streaming(
@@ -1087,6 +1102,7 @@ def apply_streaming(
     write_slot,
     *,
     prefill: bool = False,
+    frame_tokens: Optional[int] = None,
 ) -> tuple[jnp.ndarray, Params]:
     """Run all blocks over ``x_new`` (bs, Ln, d) against cached K/V.
 
@@ -1106,7 +1122,8 @@ def apply_streaming(
     ``write_slot`` (traced frame index, callers pass ``f % n_frames``).
     ``prefill=True``: ``x_new`` is the sink tokens followed by zero or more
     whole frames, written at static offsets (sinks + ring slots ``0..``);
-    ``write_slot`` is ignored.
+    ``write_slot`` is ignored and ``frame_tokens`` must be passed when
+    frames are included (the padded cache slabs don't pin the frame size).
     Inference-only: merged LoRA (``prepare_inference_params``), no dropout.
     """
     if cfg.pos != "rope":
@@ -1118,14 +1135,23 @@ def apply_streaming(
     d = cfg.d_model
     kvh, hd = cfg.kv_heads, cfg.head_dim
     kv_dim = kvh * hd
-    n_sink = cache["k_sink"].shape[2]
-    F, P = cache["k_ring"].shape[2:4]
+    n_sink = cache["sink_pos"].shape[0]
+    slots, pp = cache["k"].shape[2:4]
+    F = slots - 1  # ring slots; slot F holds the sinks
     x = x_new.astype(cfg.dtype)
     if "project_in" in params:
         x = _linear(x, params["project_in"])
 
     new_positions = new_positions.astype(jnp.int32)
     if prefill:
+        if frame_tokens is None:
+            if Ln != n_sink:
+                raise ValueError(
+                    "prefill with frames needs frame_tokens= (the padded "
+                    "cache slabs don't pin the frame size)"
+                )
+            frame_tokens = pp  # sinks only; any value works
+        P = frame_tokens
         n_fr = (Ln - n_sink) // P
         if n_sink + n_fr * P != Ln:
             raise ValueError(
@@ -1137,45 +1163,59 @@ def apply_streaming(
         if n_fr:
             ring_pos = ring_pos.at[:n_fr].set(new_positions[n_sink::P])
     else:
-        if Ln != P:
+        P = Ln  # decode appends exactly one frame
+        if frame_tokens is not None and frame_tokens != P:
             raise ValueError(
-                f"decode appends exactly one frame of {P} tokens; got {Ln}"
+                f"decode appends exactly one frame of {frame_tokens} tokens; got {P}"
             )
+        if P > pp:
+            raise ValueError(f"frame of {P} tokens exceeds the {pp}-token slab")
         n_fr = 0
         sink_pos = cache["sink_pos"]
         ring_pos = cache["ring_pos"].at[write_slot].set(new_positions[0])
 
     # every resident token precedes (or is) each query: causality — including
-    # among the Ln new tokens themselves — reduces to a position comparison
+    # among the Ln new tokens themselves — reduces to a position comparison.
+    # One int32 key-position row covers the whole slab buffer (ring slots
+    # then the sink slot); unwritten slots and slab pad rows get INT32_MAX
+    # so ``key_pos <= q_pos`` is False for them.
     qpos = new_positions
-    allowed_sink = (
-        (sink_pos >= 0)[None, :] & (sink_pos[None, :] <= qpos[:, None])
-    )[None, None]  # (1, 1, Ln, n_sink)
-    key_pos = ring_pos[:, None] + jnp.arange(P, dtype=jnp.int32)[None, :]  # (F, P)
-    allowed_ring = (
-        (ring_pos >= 0)[None, :, None] & (key_pos[None] <= qpos[:, None, None])
-    ).reshape(Ln, F * P)[None, None]  # (1, 1, Ln, F·P)
+    big = jnp.iinfo(jnp.int32).max
+    row = jnp.arange(pp, dtype=jnp.int32)
+    ring_kp = jnp.where(
+        (ring_pos >= 0)[:, None] & (row < P)[None, :],
+        ring_pos[:, None] + row[None, :], big,
+    )  # (F, P̂)
+    sink_pad = jnp.full((pp,), -1, jnp.int32)
+    if n_sink:
+        sink_pad = sink_pad.at[:n_sink].set(sink_pos)
+    sink_kp = jnp.where(sink_pad >= 0, sink_pad, big)
+    kp_row = jnp.concatenate([ring_kp.reshape(F * pp), sink_kp])  # (slots*P̂,)
+    allowed = (kp_row[None, :] <= qpos[:, None])[None, None]  # (1,1,Ln,slots*P̂)
     pos_b = jnp.broadcast_to(new_positions[None, :], (bs, Ln))
 
     # the stacked (n_layers, ...) buffers are THREADED through the layer
     # loop with per-layer updates at a static layer index — never sliced
     # out and restacked, which would force XLA to copy every layer's buffer
     # on every decode step; as a scan carry the updates alias in place
-    ck_sink, cv_sink = cache["k_sink"], cache["v_sink"]
-    ck_ring, cv_ring = cache["k_ring"], cache["v_ring"]
+    ck, cv = cache["k"], cache["v"]
 
-    # Pallas decode-attention over the folded cache (unrolled layout only —
+    # Pallas decode-attention over the slab cache (unrolled layout only —
     # the stacked scan's traced layer index cannot be baked into BlockSpecs)
     from fluid_llm_tpu.ops import decode_attention as _da
 
     use_dk, dk_interp = (False, False)
     if not prefill and isinstance(params["layers"], list):
-        use_dk, dk_interp = _da.use_kernel(cfg, n_sink)
+        use_dk, dk_interp = _da.use_kernel(cfg)
     if use_dk:
-        dk_key_pos = _da.build_key_pos(ring_pos, sink_pos, P)
+        dk_key_pos = _da.pad_key_pos(kp_row)
         dk_q0 = new_positions[:1].reshape(1, 1)
 
-    def layer_step(x, ck_sink, cv_sink, ck_ring, cv_ring, li, lp):
+    def _pad_slab(arr):
+        # (bs, P, kv_dim) -> (bs, 1, P̂, kv_dim): zero rows P..P̂ (masked)
+        return jnp.pad(arr, ((0, 0), (0, pp - P), (0, 0)))[:, None]
+
+    def layer_step(x, ck, cv, li, lp):
         # unrolled (list-layout) path only — the stacked layout runs the
         # separate lax.scan ``body`` below
         lin = lambda h, g, n: _linear(h, lp[g][n])
@@ -1198,37 +1238,34 @@ def apply_streaming(
             if n_sink:
                 ks = k[:, :n_sink].reshape(bs, n_sink, kv_dim)
                 vs = v[:, :n_sink].reshape(bs, n_sink, kv_dim)
-                ck_sink = ck_sink.at[li].set(ks.astype(ck_sink.dtype))
-                cv_sink = cv_sink.at[li].set(vs.astype(cv_sink.dtype))
+                ck = ck.at[li, :, F, :n_sink].set(ks.astype(ck.dtype))
+                cv = cv.at[li, :, F, :n_sink].set(vs.astype(cv.dtype))
             if n_fr:
                 kf = k[:, n_sink:].reshape(bs, n_fr, P, kv_dim)
                 vf = v[:, n_sink:].reshape(bs, n_fr, P, kv_dim)
-                ck_ring = ck_ring.at[li, :, :n_fr].set(kf.astype(ck_ring.dtype))
-                cv_ring = cv_ring.at[li, :, :n_fr].set(vf.astype(cv_ring.dtype))
+                ck = ck.at[li, :, :n_fr, :P].set(kf.astype(ck.dtype))
+                cv = cv.at[li, :, :n_fr, :P].set(vf.astype(cv.dtype))
         else:
-            ck_ring = jax.lax.dynamic_update_slice(
-                ck_ring, k.reshape(bs, 1, P, kv_dim).astype(ck_ring.dtype)[None],
+            ck = jax.lax.dynamic_update_slice(
+                ck, _pad_slab(k.reshape(bs, P, kv_dim)).astype(ck.dtype)[None],
                 (li, 0, write_slot, 0, 0),
             )
-            cv_ring = jax.lax.dynamic_update_slice(
-                cv_ring, v.reshape(bs, 1, P, kv_dim).astype(cv_ring.dtype)[None],
+            cv = jax.lax.dynamic_update_slice(
+                cv, _pad_slab(v.reshape(bs, P, kv_dim)).astype(cv.dtype)[None],
                 (li, 0, write_slot, 0, 0),
             )
 
         if use_dk:
-            attn_flat = _da.sink_ring_decode(
-                q.reshape(bs, Ln, cfg.n_heads * hd),
-                ck_sink, cv_sink, ck_ring, cv_ring,
+            attn_flat = _da.slab_decode(
+                q.reshape(bs, Ln, cfg.n_heads * hd), ck, cv,
                 dk_key_pos, dk_q0, li, hd, interpret=dk_interp,
             )
         else:
-            attn_out = _attention_sink_ring(
+            attn_out = _attention_slabs(
                 q,
-                jax.lax.dynamic_index_in_dim(ck_sink, li, 0, False),
-                jax.lax.dynamic_index_in_dim(cv_sink, li, 0, False),
-                jax.lax.dynamic_index_in_dim(ck_ring, li, 0, False),
-                jax.lax.dynamic_index_in_dim(cv_ring, li, 0, False),
-                allowed_sink, allowed_ring, cfg,
+                jax.lax.dynamic_index_in_dim(ck, li, 0, False),
+                jax.lax.dynamic_index_in_dim(cv, li, 0, False),
+                allowed, cfg,
             )
             attn_flat = attn_out.reshape(bs, Ln, d)
         x = x + lin(attn_flat, "attn", "o")
@@ -1257,13 +1294,11 @@ def apply_streaming(
         x = x + h2
         if not cfg.pre_ln:
             x = _norm(x, ln("ln2"), cfg)
-        return x, ck_sink, cv_sink, ck_ring, cv_ring
+        return x, ck, cv
 
     if isinstance(params["layers"], list):
         for li in range(cfg.n_layers):
-            x, ck_sink, cv_sink, ck_ring, cv_ring = layer_step(
-                x, ck_sink, cv_sink, ck_ring, cv_ring, li, params["layers"][li]
-            )
+            x, ck, cv = layer_step(x, ck, cv, li, params["layers"][li])
     else:
         # stacked layout (``stack_layers``): scan over blocks — same math,
         # ~n_layers× smaller program.  The cache rides the scan's xs/ys:
@@ -1275,7 +1310,7 @@ def apply_streaming(
         lys = params["layers"]
 
         def body(x, xs):
-            ks_l, vs_l, kr_l, vr_l, li = xs
+            k_l, v_l, li = xs
             lin = lambda h2, g, n: _stacked_linear(h2, lys[g][n], li)
             ln = lambda n: _index_tree(lys[n], li)
             attn_names = lys["attn"]
@@ -1294,25 +1329,25 @@ def apply_streaming(
             q, k = _rope(q, k, pos_b, cfg)
             if prefill:
                 if n_sink:
-                    ks_l = k[:, :n_sink].reshape(bs, n_sink, kv_dim).astype(ks_l.dtype)
-                    vs_l = v[:, :n_sink].reshape(bs, n_sink, kv_dim).astype(vs_l.dtype)
+                    ks = k[:, :n_sink].reshape(bs, n_sink, kv_dim)
+                    vs = v[:, :n_sink].reshape(bs, n_sink, kv_dim)
+                    k_l = k_l.at[:, F, :n_sink].set(ks.astype(k_l.dtype))
+                    v_l = v_l.at[:, F, :n_sink].set(vs.astype(v_l.dtype))
                 if n_fr:
                     kf = k[:, n_sink:].reshape(bs, n_fr, P, kv_dim)
                     vf = v[:, n_sink:].reshape(bs, n_fr, P, kv_dim)
-                    kr_l = kr_l.at[:, :n_fr].set(kf.astype(kr_l.dtype))
-                    vr_l = vr_l.at[:, :n_fr].set(vf.astype(vr_l.dtype))
+                    k_l = k_l.at[:, :n_fr, :P].set(kf.astype(k_l.dtype))
+                    v_l = v_l.at[:, :n_fr, :P].set(vf.astype(v_l.dtype))
             else:
-                kr_l = jax.lax.dynamic_update_slice(
-                    kr_l, k.reshape(bs, 1, P, kv_dim).astype(kr_l.dtype),
+                k_l = jax.lax.dynamic_update_slice(
+                    k_l, _pad_slab(k.reshape(bs, P, kv_dim)).astype(k_l.dtype),
                     (0, write_slot, 0, 0),
                 )
-                vr_l = jax.lax.dynamic_update_slice(
-                    vr_l, v.reshape(bs, 1, P, kv_dim).astype(vr_l.dtype),
+                v_l = jax.lax.dynamic_update_slice(
+                    v_l, _pad_slab(v.reshape(bs, P, kv_dim)).astype(v_l.dtype),
                     (0, write_slot, 0, 0),
                 )
-            attn_out = _attention_sink_ring(
-                q, ks_l, vs_l, kr_l, vr_l, allowed_sink, allowed_ring, cfg
-            )
+            attn_out = _attention_slabs(q, k_l, v_l, allowed, cfg)
             x = x + lin(attn_out.reshape(bs, Ln, d), "attn", "o")
             if not cfg.pre_ln:
                 x = _norm(x, ln("ln1"), cfg)
@@ -1327,11 +1362,11 @@ def apply_streaming(
             x = x + h2
             if not cfg.pre_ln:
                 x = _norm(x, ln("ln2"), cfg)
-            return x, (ks_l, vs_l, kr_l, vr_l)
+            return x, (k_l, v_l)
 
-        x, (ck_sink, cv_sink, ck_ring, cv_ring) = jax.lax.scan(
+        x, (ck, cv) = jax.lax.scan(
             body, x,
-            (ck_sink, cv_sink, ck_ring, cv_ring, jnp.arange(cfg.n_layers)),
+            (ck, cv, jnp.arange(cfg.n_layers)),
             unroll=_scan_unroll(),
         )
 
@@ -1340,8 +1375,7 @@ def apply_streaming(
     if "project_out" in params:
         x = _linear(x, params["project_out"])
     new_cache = {
-        "k_sink": ck_sink, "v_sink": cv_sink, "sink_pos": sink_pos,
-        "k_ring": ck_ring, "v_ring": cv_ring, "ring_pos": ring_pos,
+        "k": ck, "v": cv, "sink_pos": sink_pos, "ring_pos": ring_pos,
     }
     return x, new_cache
 

@@ -1,25 +1,28 @@
-"""Pallas decode attention over the streaming frame-slab KV ring.
+"""Pallas decode attention over the streaming slab KV cache.
 
 The streaming serving step (``backbone.apply_streaming``) is cache-READ
-bound: the XLA formulation flattens the ``(F, P)`` frame-slab ring into a
-token axis every decode step (materialising reshape), re-lays the heads out
-for the einsum (copy), and runs the hd=64 QK^T as a convolution — measured
-reshape 14 % + copy 9.5 % + QK^T 9.9 % of device time (BENCHMARKS.md
-"r3-final").  This kernel reads the folded cache IN PLACE instead:
+bound: the XLA formulation flattens the slab cache into a token axis every
+decode step (materialising reshape), re-lays the heads out for the einsum
+(copy), and runs the hd=64 QK^T as a convolution — measured reshape 14 % +
+copy 9.5 % + QK^T 9.9 % of device time on the r3 build (BENCHMARKS.md).
+This kernel reads the cache IN PLACE instead:
 
-- K/V inputs are the full stacked cache buffers ``(L, bs, S, D)`` /
-  ``(L, bs, F, P, D)`` with the layer index baked into the BlockSpec index
-  map — the pipeline DMAs exactly layer ``li``'s 128-lane head-group block
-  from HBM, no slicing or flattening in XLA;
+- the K/V inputs are the full stacked cache buffers
+  ``(L, bs, slots, P̂, D)`` with the layer index baked into the BlockSpec
+  index maps — the pipeline DMAs exactly layer ``li``'s 128-lane head-group
+  block from HBM; no per-layer slice, no flatten, no head relayout;
+- slabs are tile-aligned (``P̂`` is a 16-sublane multiple,
+  ``backbone._slab_tokens``) and the sinks live in the last slot of the
+  SAME buffer, so the in-kernel ``(slots, P̂, lanes) -> (slots*P̂, lanes)``
+  flatten is layout-trivial and there is nothing to concatenate;
 - heads are processed in 128-lane groups (``hd=64`` -> 2 heads/group): the
   per-head QK^T runs at FULL 128-deep MXU contraction with the other
   head's query lanes zeroed — the zeros contribute nothing, and a 64-deep
   contraction costs the same MXU cycles anyway;
-- the two-piece (sinks + ring) softmax of the XLA path becomes one VMEM
-  concat + one masked softmax per head — the f32 logits never touch HBM.
+- one masked softmax per head over all keys, f32 logits resident in VMEM.
 
 Validity/causality is precomputed OUTSIDE as one int32 key-position row
-(evicted/unwritten slots -> INT32_MAX): ``allowed = key_pos <= q_pos``
+(pad rows / unwritten slots -> INT32_MAX): ``allowed = key_pos <= q_pos``
 reproduces ``apply_streaming``'s mask exactly (every resident token
 precedes the incoming frame; intra-frame causality falls out of the
 consecutive positions).
@@ -44,16 +47,17 @@ LANE = 128
 _BIG = jnp.iinfo(jnp.int32).max
 
 
-def _kernel(q_ref, ks_ref, vs_ref, kr_ref, vr_ref, kp_ref, q0_ref, o_ref,
-            *, F, P, S, hd, kpad, scale):
-    FP = F * P
-    npad = kpad - FP - S
-    k = jnp.concatenate([kr_ref[0, 0].reshape(FP, LANE), ks_ref[0, 0]], axis=0)
-    v = jnp.concatenate([vr_ref[0, 0].reshape(FP, LANE), vs_ref[0, 0]], axis=0)
+def _kernel(q_ref, k_ref, v_ref, kp_ref, q0_ref, o_ref,
+            *, slots, pp, hd, kpad, scale):
+    tot = slots * pp
+    npad = kpad - tot
+    k = k_ref[0, 0].reshape(tot, LANE)
+    v = v_ref[0, 0].reshape(tot, LANE)
     if npad:
         zpad = jnp.zeros((npad, LANE), k.dtype)
         k = jnp.concatenate([k, zpad], axis=0)
         v = jnp.concatenate([v, zpad], axis=0)
+    P = q_ref.shape[1]
     qpos = q0_ref[0, 0] + jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     allowed = kp_ref[:, :] <= qpos  # (1, kpad) x (P, 1) -> (P, kpad)
     q = q_ref[0]  # (P, LANE)
@@ -82,26 +86,25 @@ def _kernel(q_ref, ks_ref, vs_ref, kr_ref, vr_ref, kp_ref, q0_ref, o_ref,
 @functools.partial(
     jax.jit, static_argnames=("li", "head_dim", "interpret")
 )
-def sink_ring_decode(q, k_sink, v_sink, k_ring, v_ring, key_pos, q0,
-                     li: int, head_dim: int, interpret: bool = False):
-    """One decode step of sink+ring attention for layer ``li``.
+def slab_decode(q, k_slabs, v_slabs, key_pos, q0,
+                li: int, head_dim: int, interpret: bool = False):
+    """One decode step of slab attention for layer ``li``.
 
     q:        (bs, P, D) rope'd queries, heads packed on the last dim
-    k_sink:   (L, bs, S, D) stacked folded sink cache (read in place)
-    k_ring:   (L, bs, F, P, D) stacked folded frame-slab ring (post-write)
-    key_pos:  (1, kpad) int32 — per-key absolute position in [ring|sink|pad]
-              order, INT32_MAX for invalid/padded keys
+    k_slabs:  (L, bs, slots, P̂, D) stacked slab cache (read in place;
+              post-write — the new frame's K/V are already in their slot)
+    key_pos:  (1, kpad) int32 — per-key absolute position in slab order,
+              INT32_MAX for pad rows / unwritten slots (``pad_key_pos``)
     q0:       (1, 1) int32 — absolute position of the first query token
     returns   (bs, P, D) attention output (ready for the o-projection)
     """
     bs, P, D = q.shape
-    L, _, S, _ = k_sink.shape
-    F = k_ring.shape[2]
+    L, _, slots, pp, _ = k_slabs.shape
     kpad = key_pos.shape[1]
     assert D % LANE == 0 and LANE % head_dim == 0
     grid = (bs, D // LANE)
     kern = functools.partial(
-        _kernel, F=F, P=P, S=S, hd=head_dim, kpad=kpad,
+        _kernel, slots=slots, pp=pp, hd=head_dim, kpad=kpad,
         scale=head_dim ** -0.5,
     )
     return pl.pallas_call(
@@ -111,13 +114,11 @@ def sink_ring_decode(q, k_sink, v_sink, k_ring, v_ring, key_pos, q0,
         in_specs=[
             pl.BlockSpec((1, P, LANE), lambda b, g: (b, 0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, LANE), lambda b, g, _li=li: (_li, b, 0, g),
+            pl.BlockSpec((1, 1, slots, pp, LANE),
+                         lambda b, g, _li=li: (_li, b, 0, 0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, LANE), lambda b, g, _li=li: (_li, b, 0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, F, P, LANE), lambda b, g, _li=li: (_li, b, 0, 0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, F, P, LANE), lambda b, g, _li=li: (_li, b, 0, 0, g),
+            pl.BlockSpec((1, 1, slots, pp, LANE),
+                         lambda b, g, _li=li: (_li, b, 0, 0, g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kpad), lambda b, g: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -127,27 +128,15 @@ def sink_ring_decode(q, k_sink, v_sink, k_ring, v_ring, key_pos, q0,
         out_specs=pl.BlockSpec((1, P, LANE), lambda b, g: (b, 0, g),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(q, k_sink, v_sink, k_ring, v_ring, key_pos, q0)
+    )(q, k_slabs, v_slabs, key_pos, q0)
 
 
-def build_key_pos(ring_pos, sink_pos, P: int) -> jnp.ndarray:
-    """(1, kpad) int32 key positions in [ring|sink] order, lane-padded.
-
-    Mirrors ``apply_streaming``'s mask: resident keys carry their absolute
-    position (``ring_pos[f] + j`` for ring token j of slot f), never-written
-    slots and the padding get INT32_MAX so ``key_pos <= q_pos`` is False.
-    """
-    F = ring_pos.shape[0]
-    arange_p = jnp.arange(P, dtype=jnp.int32)
-    kpr = jnp.where(
-        (ring_pos >= 0)[:, None], ring_pos[:, None] + arange_p[None, :], _BIG
-    ).reshape(F * P)
-    kps = jnp.where(sink_pos >= 0, sink_pos, _BIG)
-    kp = jnp.concatenate([kpr, kps])
-    pad = (-kp.shape[0]) % LANE
+def pad_key_pos(kp_row: jnp.ndarray) -> jnp.ndarray:
+    """(slots*P̂,) int32 -> (1, kpad) lane-padded with INT32_MAX."""
+    pad = (-kp_row.shape[0]) % LANE
     if pad:
-        kp = jnp.pad(kp, (0, pad), constant_values=_BIG)
-    return kp[None]
+        kp_row = jnp.pad(kp_row, (0, pad), constant_values=_BIG)
+    return kp_row[None]
 
 
 def mode() -> str:
@@ -156,21 +145,20 @@ def mode() -> str:
     return os.environ.get("FLUID_STREAM_ATTN", "auto").lower()
 
 
-def supported(cfg, n_sink: int) -> bool:
-    """Shape gate: full-head attention (no GQA repeat in the kernel), head
-    groups that tile the 128-lane registers, and at least one sink."""
+def supported(cfg) -> bool:
+    """Shape gate: full-head attention (no GQA repeat in the kernel) and
+    head groups that tile the 128-lane registers."""
     return (
         cfg.kv_heads == cfg.n_heads
         and cfg.head_dim in (32, 64, 128)
         and (cfg.n_heads * cfg.head_dim) % LANE == 0
-        and n_sink > 0
     )
 
 
-def use_kernel(cfg, n_sink: int) -> tuple[bool, bool]:
+def use_kernel(cfg) -> tuple[bool, bool]:
     """(use, interpret) for the current backend + env."""
     m = mode()
-    if m == "xla" or not supported(cfg, n_sink):
+    if m == "xla" or not supported(cfg):
         return False, False
     if m == "interpret":
         return True, True

@@ -146,7 +146,8 @@ def generate_streaming(
         x0 = jnp.concatenate(prefill, axis=1)
         p0 = jnp.concatenate(prefill_pos).astype(jnp.int32)
         _, cache = bb.apply_streaming(
-            params["backbone"], bcfg, x0, p0, cache, 0, prefill=True
+            params["backbone"], bcfg, x0, p0, cache, 0, prefill=True,
+            frame_tokens=n_patch,
         )
 
     # ---- decode steps: append one frame, read its diff --------------------

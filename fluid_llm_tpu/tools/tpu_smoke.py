@@ -192,12 +192,12 @@ def check_streaming(n_steps: int = 6) -> None:
 
 def check_decode_attention(S: int = 61, F: int = 10, P: int = 60,
                            H: int = 12, hd: int = 64) -> None:
-    """Pallas sink+ring decode-attention kernel (``ops/decode_attention``)
-    vs the XLA two-piece path at the production streaming geometry (61
-    sinks, 10-frame ring of 60-token slabs, 12 heads of 64) — one slot left
-    unwritten and the query frame resident, so validity masking, intra-frame
-    causality, and the in-place stacked-cache reads all qualify on the real
-    Mosaic toolchain."""
+    """Pallas slab decode-attention kernel (``ops/decode_attention``) vs the
+    XLA path at the production streaming geometry (61 sinks, 10-frame ring
+    of 60-token slabs padded to 64, 12 heads of 64) — one slot left
+    unwritten and the query frame resident, so validity masking, slab-pad
+    masking, intra-frame causality, and the in-place stacked-cache reads
+    all qualify on the real Mosaic toolchain."""
     import jax
     import jax.numpy as jnp
 
@@ -206,12 +206,15 @@ def check_decode_attention(S: int = 61, F: int = 10, P: int = 60,
 
     rng = np.random.default_rng(1)
     L, bs, D = 2, 1, H * hd
+    pp = bb._slab_tokens(P, S)
+    slots = F + 1
     mk = lambda *s: jnp.asarray(
         (rng.normal(size=s) * 0.5).astype(np.float32), jnp.bfloat16
     )
     q_flat = mk(bs, P, D)
-    k_sink, v_sink = mk(L, bs, S, D), mk(L, bs, S, D)
-    k_ring, v_ring = mk(L, bs, F, P, D), mk(L, bs, F, P, D)
+    # random data even in pad rows / unwritten slots: the position mask must
+    # exclude them identically in both paths
+    k_slabs, v_slabs = mk(L, bs, slots, pp, D), mk(L, bs, slots, pp, D)
 
     sink_pos = jnp.arange(S, dtype=jnp.int32)
     ring_np = np.full(F, -1, np.int32)
@@ -225,22 +228,22 @@ def check_decode_attention(S: int = 61, F: int = 10, P: int = 60,
         pos="rope", dtype=jnp.bfloat16,
     )
     qpos = q0 + jnp.arange(P, dtype=jnp.int32)
-    allowed_sink = (
-        (sink_pos >= 0)[None, :] & (sink_pos[None, :] <= qpos[:, None])
-    )[None, None]
-    key_pos = ring_pos[:, None] + jnp.arange(P, dtype=jnp.int32)[None, :]
-    allowed_ring = (
-        (ring_pos >= 0)[None, :, None] & (key_pos[None] <= qpos[:, None, None])
-    ).reshape(P, F * P)[None, None]
+    big = jnp.iinfo(jnp.int32).max
+    row = jnp.arange(pp, dtype=jnp.int32)
+    ring_kp = jnp.where(
+        (ring_pos >= 0)[:, None] & (row < P)[None, :],
+        ring_pos[:, None] + row[None, :], big,
+    )
+    sink_kp = jnp.where(row < S, jnp.pad(sink_pos, (0, pp - S)), big)
+    kp_row = jnp.concatenate([ring_kp.reshape(F * pp), sink_kp])
+    allowed = (kp_row[None, :] <= qpos[:, None])[None, None]
 
     li = 1
-    ref = bb._attention_sink_ring(
-        q_flat.reshape(bs, P, H, hd), k_sink[li], v_sink[li],
-        k_ring[li], v_ring[li], allowed_sink, allowed_ring, cfg,
+    ref = bb._attention_slabs(
+        q_flat.reshape(bs, P, H, hd), k_slabs[li], v_slabs[li], allowed, cfg,
     ).reshape(bs, P, D)
-    out = da.sink_ring_decode(
-        q_flat, k_sink, v_sink, k_ring, v_ring,
-        da.build_key_pos(ring_pos, sink_pos, P),
+    out = da.slab_decode(
+        q_flat, k_slabs, v_slabs, da.pad_key_pos(kp_row),
         jnp.full((1, 1), q0, jnp.int32), li, hd,
     )
     ref32 = np.asarray(ref, np.float32)
@@ -248,6 +251,34 @@ def check_decode_attention(S: int = 61, F: int = 10, P: int = 60,
     err = np.abs(out32 - ref32).max() / (np.abs(ref32).max() + 1e-9)
     assert err < 3e-2, f"decode-attention kernel mismatch: rel err {err:.3e}"
     print(f"decode_attention kernel OK on {jax.default_backend()} (rel err {err:.2e})")
+
+
+def check_exact_attention(L: int = 661, H: int = 12, hd: int = 64) -> None:
+    """Pallas exact-window packed causal attention (``ops/exact_attention``)
+    vs its XLA twin at the rollout geometry (661 tokens, 12 heads of 64,
+    masked front frames) on the real Mosaic toolchain."""
+    import jax
+    import jax.numpy as jnp
+
+    from fluid_llm_tpu.ops import exact_attention as xa
+
+    rng = np.random.default_rng(2)
+    bs, D = 1, H * hd
+    mk = lambda *s: jnp.asarray(
+        (rng.normal(size=s) * 0.5).astype(np.float32), jnp.bfloat16
+    )
+    q, k, v = mk(bs, L, D), mk(bs, L, D), mk(bs, L, D)
+    valid = jnp.broadcast_to(
+        (jnp.arange(L) >= 121).astype(jnp.int32)[None], (bs, L)
+    )
+    ref = xa._xla_packed(q, k, v, valid, H, hd)
+    out = xa.causal_attention(q, k, v, valid, H, hd)
+    vmask = np.asarray(valid, bool)
+    ref32 = np.asarray(ref, np.float32)[vmask]
+    out32 = np.asarray(out, np.float32)[vmask]
+    err = np.abs(out32 - ref32).max() / (np.abs(ref32).max() + 1e-9)
+    assert err < 3e-2, f"exact-attention kernel mismatch: rel err {err:.3e}"
+    print(f"exact_attention kernel OK on {jax.default_backend()} (rel err {err:.2e})")
 
 
 def check_moe(L: int = 661, E: int = 8, top_k: int = 2) -> None:
@@ -322,6 +353,7 @@ def run_checks(only: str | None = None) -> dict:
         ("grid_gnn_mh", lambda: check_grid_gnn(16, heads=2, cdim=24)),
         ("indexed_linear", check_indexed_linear),
         ("decode_attention", lambda: check_decode_attention()),
+        ("exact_attention", lambda: check_exact_attention()),
         ("streaming", lambda: check_streaming()),
         ("moe", lambda: check_moe()),
     )
@@ -346,7 +378,8 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("only", nargs="?", default=None,
                         choices=[None, "flash", "grid_gnn", "grid_gnn_mh", "indexed_linear",
-                                 "decode_attention", "streaming", "moe"])
+                                 "decode_attention", "exact_attention",
+                                 "streaming", "moe"])
     parser.add_argument("--json", default=None, help="write results to PATH")
     args = parser.parse_args()
 

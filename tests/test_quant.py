@@ -188,3 +188,60 @@ def test_moe_int8_forward_close_and_ep_shardable():
     np.testing.assert_allclose(
         np.asarray(out_s), np.asarray(out), atol=1e-5, rtol=1e-5
     )
+
+
+def test_quantized_frozen_backbone_train_step(tmp_path):
+    """The reference's QLoRA regime (``model.py:51`` + ``training1.yaml:6``):
+    packed-nf4 frozen backbone + LoRA adapters through a REAL train step —
+    gradients reach only the adapters, loss stays finite, the quantized
+    storage is untouched, and the quantized leaves checkpoint-roundtrip
+    bit-exactly."""
+    from fluid_llm_tpu.train import checkpoint as ckpt
+    from fluid_llm_tpu.train.optim import partition
+    from fluid_llm_tpu.train.trainer import Trainer, TrainState
+
+    cfg, ds, props, model, batch = tiny_setup(use_lora=True)
+    trainer = Trainer(model)
+    params = model.init(jax.random.PRNGKey(0))
+    params["backbone"] = quantize_backbone(params["backbone"], mode="nf4")
+    mask = model.trainable_mask(params)
+    trainable, frozen = partition(params, mask)
+    opt_state = trainer.opt.init(trainable)
+
+    frozen_before = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), frozen)
+    lora_before = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), trainable["lora"]
+    )
+    new_tr, new_opt, metrics = trainer.train_step_autoreg(
+        trainable, frozen, opt_state, batch, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(np.asarray(metrics["N_RMSE"])).all()
+    # adapters moved...
+    lora_after = jax.tree_util.tree_leaves(new_tr["lora"])
+    before_leaves = jax.tree_util.tree_leaves(lora_before)
+    assert any(
+        not np.allclose(np.asarray(a), b)
+        for a, b in zip(lora_after, before_leaves)
+    )
+    # ...the quantized frozen storage did not (bit-exact, incl. uint8 packs)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(frozen),
+        jax.tree_util.tree_leaves(frozen_before),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+    # checkpoint roundtrip of the quantized leaves
+    state = TrainState(trainable=new_tr, frozen=frozen, opt_state=new_opt, epoch=1)
+    ckpt.save_checkpoint(str(tmp_path), 1, state, cfg)
+    p2 = model.init(jax.random.PRNGKey(7))  # different values, same structure
+    p2["backbone"] = quantize_backbone(p2["backbone"], mode="nf4")
+    t2, f2 = partition(p2, model.trainable_mask(p2))
+    like = TrainState(trainable=t2, frozen=f2, opt_state=trainer.opt.init(t2))
+    restored = ckpt.restore_checkpoint(str(tmp_path), 1, like)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.frozen),
+        jax.tree_util.tree_leaves(frozen),
+    ):
+        assert np.asarray(a).dtype == np.asarray(b).dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -275,7 +275,7 @@ def test_decode_attention_kernel_matches_xla(monkeypatch):
     n_steps = model.max_ctx_len + 2  # slides: eviction + slot rewrite covered
 
     from fluid_llm_tpu.ops import decode_attention as da
-    assert da.supported(model.backbone_cfg, 1 + states.shape[2])
+    assert da.supported(model.backbone_cfg)
 
     monkeypatch.setenv("FLUID_STREAM_ATTN", "xla")
     ref_states, ref_diffs = generate_streaming(
