@@ -77,9 +77,16 @@ def build_dataset(args, mode, window):
     if args.dataset_path == "synthetic":
         from fluid_llm_tpu.data.synthetic import SyntheticGraphDataset
 
+        kw = {}
+        if args.mesh_nodes:
+            nx, ny = (int(v) for v in args.mesh_nodes.lower().split("x"))
+            kw["mesh_nodes"] = (nx, ny)
+        if args.max_steps:
+            kw["max_steps"] = args.max_steps
         return SyntheticGraphDataset(
             n_trajectories=args.n_traj, mode=mode, window_length=window,
             n_cluster=args.n_cluster if args.model == "graphvit" else 0,
+            **kw,
         )
     if "eagle" in args.dataset_path.lower():
         return EagleDroneDataset(
@@ -170,7 +177,10 @@ def run_graph_model(args):
     save_dir = os.path.join(args.save_dir, args.model)
     os.makedirs(save_dir, exist_ok=True)
     lr = args.lr
+    import time as _time
+
     for epoch in range(args.epoch):
+        t_ep, n_steps = _time.monotonic(), 0
         for batch in iterate_graph_batches(
             train_ds, args.batch_size, shuffle=True, seed=epoch, ghost_type_value=ghost
         ):
@@ -178,10 +188,16 @@ def run_graph_model(args):
             params, norm, opt_state, loss = step(
                 params, norm, opt_state, _to_device(batch), sk, jnp.float32(lr)
             )
+            n_steps += 1
+        float(loss)  # sync before timing (axon: block_until_ready unreliable)
+        dt = _time.monotonic() - t_ep
         if epoch > 1:
             lr *= 0.991  # ExponentialLR(0.991) (``train_mgn.py:126,139-140``)
         val_loss = validate_graph(args, params, norm, valid_ds, apply_fn, loss_fn, stateful, ghost)
-        logger.info("=== EPOCH %d === loss=%.4g lr=%.3g", epoch + 1, val_loss, lr)
+        logger.info(
+            "=== EPOCH %d === loss=%.4g lr=%.3g (%d steps, %.2fs, %.1f steps/s)",
+            epoch + 1, val_loss, lr, n_steps, dt, n_steps / max(dt, 1e-9),
+        )
         save_params(save_dir, args.name, params, norm)
     if args.epoch == 0:
         params, norm = load_params(save_dir, args.name, params, norm)
@@ -346,6 +362,9 @@ def main(argv=None):
     parser.add_argument("--noise_std", type=float, default=2e-2)
     parser.add_argument("--resolution", type=int, default=238)
     parser.add_argument("--n_traj", type=int, default=4, help="synthetic trajectories")
+    parser.add_argument("--mesh_nodes", default=None,
+                        help="synthetic mesh grid 'NXxNY' (default 24x10 for "
+                             "graphs; EAGLE geometry is ~3.5k nodes -> 84x42)")
     parser.add_argument("--max_steps", type=int, default=None,
                         help="synthetic trajectory length in frames (default "
                              "200; the reference's real DeepMind trajectories "

@@ -312,6 +312,7 @@ class RolloutEngine:
             "streaming": self.streaming,
             "buckets": self.buckets,
             "max_batch": self.max_batch,
+            "max_ctx": self.model.max_ctx_len,
             "grid_hw": list(self.grid_hw),
             "patch_size": list(ds.patch_size),
             "n_patch": self.nx * self.ny,
