@@ -59,7 +59,7 @@ def _kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, *, L, hd, qb, scale):
         kext = min((t + 1) * qb, L)
         j = jax.lax.broadcasted_iota(jnp.int32, (qlen, kext), 1)
         ig = r0 + jax.lax.broadcasted_iota(jnp.int32, (qlen, kext), 0)
-        vrow = valid_ref[:, :kext] != 0  # (1, kext)
+        vrow = valid_ref[0, :, :kext] != 0  # (1, kext)
         allowed = ((j <= ig) & vrow) | (j == ig)
         k_blk = k_ref[0, :kext, :]
         v_blk = v_ref[0, :kext, :]
@@ -111,13 +111,17 @@ def _call(q, k, v, valid, head_dim: int, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, LANE), lambda b, g: (b, 0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda b, g: (b, 0),
+            # (bs, 1, L) so the block's last-two dims (1, L) are exactly the
+            # array dims — a (1, L) block of a (bs, L) array is rejected by
+            # the Mosaic lowering for bs > 1 (sublane block dim 1 is neither
+            # 8-divisible nor equal to bs)
+            pl.BlockSpec((1, 1, L), lambda b, g: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, L, LANE), lambda b, g: (b, 0, g),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(q, k, v, valid)
+    )(q, k, v, valid[:, None])
 
 
 def _xla_packed(q, k, v, valid, n_heads: int, head_dim: int):
