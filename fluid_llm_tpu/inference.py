@@ -167,6 +167,8 @@ def main(argv=None):
     if args.csv:
         import csv as _csv
 
+        if os.path.dirname(args.csv):
+            os.makedirs(os.path.dirname(args.csv), exist_ok=True)
         with open(args.csv, "w", newline="") as f:
             w = _csv.writer(f)
             w.writerow(["step", "n_rmse"])
