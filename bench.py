@@ -187,7 +187,17 @@ def bench_streaming():
     model = FluidLLM.build(cfg, ds.ds_props())
     batch = next(make_batches(ds, BS, shuffle=False))
     states, _, _, bc_mask, pos = batch
-    params = model.prepare_inference_params(model.init(jax.random.PRNGKey(0)))
+    params = model.init(jax.random.PRNGKey(0))
+    if os.environ.get("FLUID_BENCH_QUANT"):
+        # quantized-weight serving experiment (int8|nf4): quantize the raw
+        # backbone, then prepare (qkv packing skips quantized leaves —
+        # ``backbone.pack_qkv_params``; dequant happens on use inside jit)
+        from fluid_llm_tpu.ops.quant import quantize_backbone
+
+        params["backbone"] = quantize_backbone(
+            params["backbone"], mode=os.environ["FLUID_BENCH_QUANT"]
+        )
+    params = model.prepare_inference_params(params)
 
     roll = jax.jit(
         lambda p, s, m, pid: generate_streaming(model, p, s, m, pid, PRED_STEPS)

@@ -23,7 +23,7 @@ TINY = dict(n_layers=2, d_model=64, n_heads=4, d_ff=128, max_pos=128, dropout=0.
 
 
 def tiny_setup(seq_len=5, decoder="MLPGNN", use_lora=False, tiny_overrides=None, **cfg_kw):
-    cfg = Config(
+    base = dict(
         llm_backbone="gpt2",
         half_precision=False,
         use_lora=use_lora,
@@ -38,8 +38,9 @@ def tiny_setup(seq_len=5, decoder="MLPGNN", use_lora=False, tiny_overrides=None,
                         "activation": "leakyrelu", "zero_last_layer": False},
         encoder_params={"type": "MLP", "num_layers": 2, "hidden_dim": 32,
                         "activation": "leakyrelu"},
-        **cfg_kw,
     )
+    base.update(cfg_kw)  # callers may override any field, incl. the defaults above
+    cfg = Config(**base)
     ds = SyntheticCylinderDataset(
         n_trajectories=2, resolution=64, seq_len=seq_len, mode="valid"
     )
