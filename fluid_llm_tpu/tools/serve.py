@@ -326,9 +326,16 @@ class RolloutEngine:
 
 def load_engine(checkpoint_dir: str, load_no: int = -1, step: int | None = None,
                 buckets=(50, 251), streaming: str = "auto",
-                max_batch: int = 1, batch_window_ms: float = 10.0) -> RolloutEngine:
+                max_batch: int = 1, batch_window_ms: float = 10.0,
+                quant: str | None = None) -> RolloutEngine:
     """Restore a run's checkpoint into a serving engine (mirrors
-    ``inference.py:139-161``'s restore path)."""
+    ``inference.py:139-161``'s restore path).
+
+    ``quant`` ("int8" | "nf4") stores the frozen backbone weights quantized
+    (``ops/quant.py``) — an HBM-footprint lever for larger backbones / more
+    concurrent trajectories (int8 is throughput-neutral, nf4 costs —
+    measured tradeoffs in BENCHMARKS.md "Quantized-weight serving").
+    """
     from fluid_llm_tpu.data import get_dataset
     from fluid_llm_tpu.main import init_state_and_mesh
     from fluid_llm_tpu.train import checkpoint as ckpt
@@ -344,6 +351,19 @@ def load_engine(checkpoint_dir: str, load_no: int = -1, step: int | None = None,
     model, _trainer, like, mesh = init_state_and_mesh(cfg, probe_ds.ds_props(), jax.random.PRNGKey(0))
     state = ckpt.restore_checkpoint(load_path, step, like)
     params = state.params
+    if quant:
+        from fluid_llm_tpu.models.lora import merge_lora
+        from fluid_llm_tpu.ops.quant import quantize_backbone
+
+        if "lora" in params:
+            # fold adapters first: quantized leaves skip qkv packing and
+            # would otherwise also skip the merge
+            params = dict(params)
+            params["backbone"] = merge_lora(params["backbone"], params["lora"],
+                                            cfg.lora_config)
+            del params["lora"]
+        params["backbone"] = quantize_backbone(params["backbone"], mode=quant)
+        logger.info("backbone weights stored as %s", quant)
     if mesh is None:
         params = model.prepare_inference_params(params)
 
@@ -437,6 +457,9 @@ def main(argv=None):
                         help="coalesce up to N concurrent requests per device call")
     parser.add_argument("--batch_window_ms", type=float, default=10.0,
                         help="how long to wait for co-batchable requests")
+    parser.add_argument("--quant", default=None, choices=["int8", "nf4"],
+                        help="store backbone weights quantized (HBM saver; "
+                             "adapters are merged first)")
     parser.add_argument("--no_warmup", action="store_true")
     args = parser.parse_args(argv)
 
@@ -451,7 +474,8 @@ def main(argv=None):
     buckets = [int(b) for b in args.buckets.split(",")]
     engine = load_engine(args.checkpoint_dir, args.load_no, args.step,
                          buckets=buckets, streaming=args.streaming,
-                         max_batch=args.max_batch, batch_window_ms=args.batch_window_ms)
+                         max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
+                         quant=args.quant)
     if not args.no_warmup:
         engine.warmup()
     httpd = serve(engine, args.host, args.port)

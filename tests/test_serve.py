@@ -181,3 +181,24 @@ def test_http_round_trip(engine):
             assert json.load(r)["status"] == "ok"
     finally:
         httpd.shutdown()
+
+
+def test_quantized_engine_matches_dense(engine):
+    """--quant serving: int8 backbone storage (adapters merged first) must
+    reproduce the dense engine's rollout within quantization tolerance."""
+    from fluid_llm_tpu.ops.quant import quantize_backbone
+
+    eng, ds = engine
+    cfg, _, props, model, _ = tiny_setup(seq_len=8, decoder="MLP")
+    raw = model.init(jax.random.PRNGKey(0))  # same seed as the fixture
+    qparams = dict(raw)
+    qparams["backbone"] = quantize_backbone(qparams["backbone"], mode="int8")
+    qparams = model.prepare_inference_params(qparams)
+    qeng = srv.RolloutEngine(cfg, model, qparams, ds, buckets=[3], streaming=False)
+
+    grid, mask = _client_frames(ds)
+    dense = eng.predict(grid, mask, pred_steps=3)
+    quant = qeng.predict(grid, mask, pred_steps=3)
+    assert np.isfinite(quant).all()
+    scale = np.abs(dense).mean() + 1e-6
+    assert np.abs(quant - dense).mean() / scale < 0.05
