@@ -179,17 +179,33 @@ def run_graph_model(args):
     lr = args.lr
     import time as _time
 
+    prof_on = False
     for epoch in range(args.epoch):
         t_ep, n_steps = _time.monotonic(), 0
         for batch in iterate_graph_batches(
             train_ds, args.batch_size, shuffle=True, seed=epoch, ghost_type_value=ghost
         ):
+            if args.profile_dir and epoch == 0 and n_steps == 2:
+                float(loss)  # drain compile + warmup before the capture
+                jax.profiler.start_trace(args.profile_dir)
+                prof_on = True
             rng, sk = jax.random.split(rng)
             params, norm, opt_state, loss = step(
                 params, norm, opt_state, _to_device(batch), sk, jnp.float32(lr)
             )
             n_steps += 1
+            if prof_on and n_steps == 6:
+                float(loss)
+                jax.profiler.stop_trace()
+                prof_on = False
+                from fluid_llm_tpu.tools.profiling import summarize_xplane
+                summarize_xplane(args.profile_dir, divisor=4)
         float(loss)  # sync before timing (axon: block_until_ready unreliable)
+        if prof_on:  # epoch shorter than the capture window
+            jax.profiler.stop_trace()
+            prof_on = False
+            from fluid_llm_tpu.tools.profiling import summarize_xplane
+            summarize_xplane(args.profile_dir, divisor=max(n_steps - 2, 1))
         dt = _time.monotonic() - t_ep
         if epoch > 1:
             lr *= 0.991  # ExponentialLR(0.991) (``train_mgn.py:126,139-140``)
@@ -370,6 +386,9 @@ def main(argv=None):
                              "200; the reference's real DeepMind trajectories "
                              "run ~600 — used by the DRN length ablation)")
     parser.add_argument("--name", default="run")
+    parser.add_argument("--profile_dir", default=None,
+                        help="jax.profiler trace of train steps 2-5 of epoch 0 "
+                             "+ per-op device-time rollup (graph models)")
     parser.add_argument("--save_dir", default="trained_models")
     args = parser.parse_args(argv)
     if args.horizon_eval is None:
