@@ -400,6 +400,19 @@ def materialize_w(p, dtype):
 
 
 def _linear(x, p):
+    w = p["w"]
+    if isinstance(w, dict) and "q" in w and w["q"].ndim == 2:
+        # int8 storage: Pallas kernel keeps the int8 bytes as the ONLY
+        # weight HBM reads (XLA materialises the dequantised bf16 copy;
+        # ops/quant_matmul.py) — the serving win behind `--quant int8`
+        from fluid_llm_tpu.ops import quant_matmul as _qmm
+
+        use, interp = _qmm.use_kernel(*w["q"].shape)
+        if use:
+            y = _qmm.int8_matmul(x, w["q"], w["scale"], interp)
+            if "b" in p:
+                y = y + p["b"].astype(y.dtype)
+            return y
     y = x @ materialize_w(p, x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)

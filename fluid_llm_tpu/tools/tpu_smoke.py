@@ -338,6 +338,29 @@ def check_moe(L: int = 661, E: int = 8, top_k: int = 2) -> None:
     print(f"moe OK (L={L}, E={E}, top{top_k}; rel err {err:.1e})")
 
 
+def check_quant_matmul(M: int = 61, K: int = 768, N: int = 2304) -> None:
+    """Pallas int8-weight matmul (``ops/quant_matmul``) vs the XLA dequant
+    path at the streaming-decode geometry (one frame x fused qkv) on the
+    real Mosaic toolchain — int8 tile DMA, in-VMEM cast, f32-scale epilogue."""
+    import jax
+    import jax.numpy as jnp
+
+    from fluid_llm_tpu.ops.quant import dequantize_weight, quantize_weight
+    from fluid_llm_tpu.ops.quant_matmul import int8_matmul
+
+    rng = np.random.default_rng(4)
+    w = jnp.asarray((rng.normal(size=(K, N)) * 0.02).astype(np.float32))
+    x = jnp.asarray((rng.normal(size=(M, K))).astype(np.float32), jnp.bfloat16)
+    qp = quantize_weight(w)
+    ref = np.asarray(x @ dequantize_weight(qp, jnp.bfloat16), np.float32)
+    out = np.asarray(jax.jit(
+        lambda a, q, s: int8_matmul(a, q, s)
+    )(x, qp["q"], qp["scale"]), np.float32)
+    err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 1e-2, f"quant_matmul kernel mismatch: rel err {err:.3e}"
+    print(f"quant_matmul kernel OK on {jax.default_backend()} (rel err {err:.2e})")
+
+
 def run_checks(only: str | None = None) -> dict:
     """Run the kernel parity checks; return {check: "ok" | "FAIL: ..."}.
 
@@ -354,6 +377,7 @@ def run_checks(only: str | None = None) -> dict:
         ("indexed_linear", check_indexed_linear),
         ("decode_attention", lambda: check_decode_attention()),
         ("exact_attention", lambda: check_exact_attention()),
+        ("quant_matmul", lambda: check_quant_matmul()),
         ("streaming", lambda: check_streaming()),
         ("moe", lambda: check_moe()),
     )
