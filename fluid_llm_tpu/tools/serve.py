@@ -31,8 +31,10 @@ predictions DEnormalized back to physical units on the client's grid (the
 patch padding is cropped; ``flip_y`` models are flipped back).
 
 Geometry (H, W, patch layout, normalization stats) is published at
-``GET /v1/info``; ``GET /healthz`` is the liveness probe.  Device access is
-serialized with a lock (one chip); concurrent requests queue.
+``GET /v1/info``; ``GET /healthz`` is the liveness probe; ``GET /v1/stats``
+reports request/error counters, per-program device-call counts, and request
+latency percentiles (last 1024 requests).  Device access is serialized with
+a lock (one chip); concurrent requests queue.
 
 Usage:
     python -m fluid_llm_tpu.tools.serve --checkpoint_dir model_checkpoints \
@@ -96,6 +98,15 @@ class RolloutEngine:
         self.grid_hw = dataset.get_trajectory(0).mask.shape
         self._lock = threading.Lock()  # one chip: serialize device work
         self._rollouts = {}
+        # observability (GET /v1/stats): counters + a bounded latency window
+        from collections import deque
+
+        self._stats_lock = threading.Lock()
+        self._counters = {"requests": 0, "errors": 0, "device_calls": 0,
+                          "device_ms_total": 0.0, "coalesced_groups": 0,
+                          "padded_rows": 0}
+        self._by_program: dict[str, int] = {}
+        self._lat_ms = deque(maxlen=1024)
 
         if streaming:
             from fluid_llm_tpu.rollout.streaming import gen_seq_streaming as _gen
@@ -192,8 +203,16 @@ class RolloutEngine:
         """One (possibly batched) device call -> (bs, ctx+bucket, 3, H, W)."""
         rollout = self._get_rollout(bucket, ctx)
         with self._lock:
+            t0 = time.monotonic()
             pred_states, _ = rollout(self.params, batch)
-            return np.asarray(pred_states)
+            out = np.asarray(pred_states)
+        dt_ms = (time.monotonic() - t0) * 1e3
+        key = f"bucket={bucket} ctx={ctx} bs={out.shape[0]}"
+        with self._stats_lock:
+            self._counters["device_calls"] += 1
+            self._counters["device_ms_total"] += dt_ms
+            self._by_program[key] = self._by_program.get(key, 0) + 1
+        return out
 
     def predict(self, grid_states: np.ndarray, grid_mask: np.ndarray,
                 pred_steps: int, start_step: int = 0) -> np.ndarray:
@@ -213,14 +232,26 @@ class RolloutEngine:
     def request(self, grid_states: np.ndarray, grid_mask: np.ndarray,
                 pred_steps: int, start_step: int = 0) -> np.ndarray:
         """Public request path: coalesced when batching is enabled."""
-        if self._queue is None:
-            return self.predict(grid_states, grid_mask, pred_steps, start_step)
-        from concurrent.futures import Future
+        t0 = time.monotonic()
+        try:
+            if self._queue is None:
+                out = self.predict(grid_states, grid_mask, pred_steps, start_step)
+            else:
+                from concurrent.futures import Future
 
-        fut = Future()
-        self._validate(grid_states, grid_mask)  # fail fast on the caller thread
-        self._queue.put((grid_states, grid_mask, pred_steps, start_step, fut))
-        return fut.result()
+                fut = Future()
+                self._validate(grid_states, grid_mask)  # fail fast on the caller thread
+                self._queue.put((grid_states, grid_mask, pred_steps, start_step, fut))
+                out = fut.result()
+        except Exception:
+            with self._stats_lock:
+                self._counters["requests"] += 1
+                self._counters["errors"] += 1
+            raise
+        with self._stats_lock:
+            self._counters["requests"] += 1
+            self._lat_ms.append((time.monotonic() - t0) * 1e3)
+        return out
 
     def _batch_worker(self):
         import queue as _queue
@@ -268,6 +299,10 @@ class RolloutEngine:
                 n = len(parts)
                 if 1 < n < self.max_batch:
                     parts = parts + [parts[0]] * (self.max_batch - n)
+                with self._stats_lock:
+                    if n > 1:
+                        self._counters["coalesced_groups"] += 1
+                    self._counters["padded_rows"] += len(parts) - n
                 batch = tuple(np.concatenate(axis_parts, axis=0) for axis_parts in zip(*parts))
                 preds = self._device_rollout(bucket, ctx, batch)
                 for i, (_s, _m, pred_steps, _st, fut) in enumerate(reqs):
@@ -304,6 +339,30 @@ class RolloutEngine:
                 float(out.mean())  # force completion (axon: block_until_ready can return early)
                 logger.info("warm bucket %d bs=%d compiled+ran in %.1fs",
                             b, bs, time.monotonic() - t0)
+
+    def stats(self) -> dict:
+        """Serving observability rollup (``GET /v1/stats``): request/error
+        counters, device-call counts per compiled program, and end-to-end
+        request latency percentiles over the last 1024 requests."""
+        with self._stats_lock:
+            c = dict(self._counters)
+            lat = sorted(self._lat_ms)
+            by_prog = dict(self._by_program)
+        out = {
+            **c,
+            "device_ms_total": round(c["device_ms_total"], 1),
+            "by_program": by_prog,
+            "compiled_programs": sorted(
+                f"bucket={b} ctx={x}" for b, x in self._rollouts
+            ),
+        }
+        if lat:
+            q = lambda p: round(lat[min(len(lat) - 1, int(p * len(lat)))], 1)
+            out["latency_ms"] = {
+                "count": len(lat), "mean": round(sum(lat) / len(lat), 1),
+                "p50": q(0.50), "p95": q(0.95), "p99": q(0.99),
+            }
+        return out
 
     def info(self) -> dict:
         ds = self.dataset
@@ -403,6 +462,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, {"status": "ok"})
         elif self.path == "/v1/info":
             self._send(200, self.engine.info())
+        elif self.path == "/v1/stats":
+            self._send(200, self.engine.stats())
         else:
             self._send(404, {"error": f"unknown path {self.path}"})
 

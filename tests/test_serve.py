@@ -171,6 +171,14 @@ def test_http_round_trip(engine):
         assert np.isfinite(pred).all()
         assert out["steps_per_s"] > 0
 
+        # observability: the rollout above must show up in /v1/stats
+        with urllib.request.urlopen(f"{base}/v1/stats", timeout=30) as r:
+            stats = json.load(r)
+        assert stats["requests"] >= 1 and stats["device_calls"] >= 1
+        assert stats["latency_ms"]["count"] >= 1
+        assert stats["latency_ms"]["p50"] > 0
+        assert any(k.startswith("bucket=3") for k in stats["by_program"])
+
         # malformed request -> 400, daemon stays alive
         bad = urllib.request.Request(f"{base}/v1/rollout", data=b"{}",
                                      headers={"Content-Type": "application/json"})
