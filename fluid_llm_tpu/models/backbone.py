@@ -409,7 +409,7 @@ def _linear(x, p):
 
         use, interp = _qmm.use_kernel(*w["q"].shape)
         if use:
-            y = _qmm.int8_matmul(x, w["q"], w["scale"], interp)
+            y = _qmm.int8_matmul(x, w["q"], w["scale"], interp, _qmm.act_mode())
             if "b" in p:
                 y = y + p["b"].astype(y.dtype)
             return y

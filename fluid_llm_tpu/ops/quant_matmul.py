@@ -1,27 +1,42 @@
-"""Pallas int8-weight matmul: only quantized bytes cross HBM.
+"""Pallas int8-weight matmul — a measured NEGATIVE result, kept opt-in.
 
 The int8 serving path (``ops/quant.py``, the TPU equivalent of the
 reference's bitsandbytes loading, ``src/models/model.py:51``) stores
 ``{'q': int8 (K, N), 'scale': f32 (N,)}`` per linear and dequantises on
-use.  XLA cannot feed a fused dequant into a ``dot`` operand — the bf16
-weight copy is MATERIALISED to HBM every step, so the streaming decode
-step (weight-read bound: ~88 % of its bf16 roofline, BENCHMARKS.md) paid
-full bf16 bytes plus the dequant traffic, and int8 storage bought only
-+9 % end to end (2786 → 3046 steps/s).
-
-This kernel keeps the int8 weights as the ONLY weight bytes read from
-HBM.  Because the scale is per OUTPUT column, dequantisation commutes
-with the contraction::
+use.  The hypothesis behind this kernel: keep int8 as the ONLY weight
+bytes read from HBM.  Because the scale is per OUTPUT column,
+dequantisation commutes with the contraction::
 
     y[m, n] = Σ_k x[m, k] · (q[k, n] · s[n])  =  (x @ q)[m, n] · s[n]
 
-so the kernel DMAs int8 tiles, casts them to the activation dtype in VMEM
-(exact: |q| ≤ 127 and bf16 holds integers < 256 exactly), contracts on
-the MXU with f32 accumulation, and applies the scale once in the output
-epilogue.  Grid ``(nm, nn, nk)`` with the K loop innermost accumulating
-into a VMEM scratch; blocks are chosen so K and N divide exactly
-(transformer dims here are multiples of 256 — anything else falls back
-to the XLA dequant path).
+END-TO-END VERDICT (251-step streaming serving, bench.py streaming):
+the XLA dequant path wins — **3046 steps/s vs 2669 (kernel w8a16) and
+2655 (kernel w8a8)**.  At decode geometry (M ≈ 60 rows) the rollout
+issues thousands of tiny weight-bound matmuls per trajectory; XLA fuses
+the int8→bf16 dequant into its matmul weight stream (no bf16 copy is
+materialised — confirmed by the +9 % the storage change alone bought,
+2786 → 3046) and amortises launch cost across the fused step program,
+which a per-linear ``pallas_call`` cannot.  ``use_kernel`` therefore
+defaults to the XLA path; set ``FLUID_QMM=pallas`` to re-measure.
+
+Two kernel modes (``FLUID_QMM_MODE``), both qualified on chip by
+``tpu_smoke quant_matmul``:
+
+- ``w8a8`` (default when forced): the activations are int8-quantised per
+  token OUTSIDE the kernel (dynamic absmax — they are ~1000x smaller
+  than the weights) and the MXU contracts int8 x int8 into i32 natively.
+  The weight tiles go DMA -> MXU with NO elementwise pass; the only
+  conversions touch the (M, N) output.  Adds ~0.4 % relative activation
+  rounding on top of the weight quantisation already accepted by
+  ``--quant int8``.
+- ``w8a16``: exact weight-only dequant in VMEM then a bf16 dot
+  (bit-accuracy reference).  The int8 -> f32 -> bf16 conversion is a VPU
+  pass over all ~85 M weight elements per decode step.
+
+Grid ``(nm, nn, nk)`` with the K loop innermost accumulating into a VMEM
+scratch; blocks are chosen so K and N divide exactly (transformer dims
+here are multiples of 256 — anything else falls back to the XLA dequant
+path).
 
 Differentiable: a ``custom_vjp`` returns ``dx = g · (q·s)^T`` via the XLA
 twin (the quantised-frozen-backbone training regime only needs gradients
@@ -74,6 +89,13 @@ def pick_blocks(m: int, k: int, n: int):
 
 
 def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, nk: int):
+    """w8a16: dequantise the weight tile in VMEM, bf16 MXU dot.
+
+    Measured SLOWER than the XLA dequant path end to end (2669 vs 3046
+    steps/s streaming): the int8 -> f32 -> bf16 conversion is a VPU pass
+    over every weight element per step (~85 M elements for the 125M
+    backbone).  Kept for reference/validation; the default is the w8a8
+    kernel below, whose weights go DMA -> MXU untouched."""
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -88,13 +110,73 @@ def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, nk: int):
         o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _qmm_2d(x, q, scale, interpret: bool = False):
+def _kernel_w8a8(x_ref, q_ref, o_ref, acc_ref, *, nk: int):
+    """w8a8: int8 activations x int8 weights on the MXU, i32 accumulation.
+
+    No elementwise pass over the weight tile at all — int8 goes straight
+    from the DMA into the systolic array.  The i32 result leaves the
+    kernel raw; the activation/column scales ride one tiny XLA fusion
+    over the (M, N) output (``_quantize_act`` quantises the activations
+    outside — they are ~1000x smaller than the weights)."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], q_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[...] = acc_ref[...]
+
+
+def _quantize_act(x: jnp.ndarray):
+    """Per-row (token) dynamic int8 quantisation: (M, K) -> int8 + (M, 1)
+    f32 scale.  Runs in XLA — activations are tiny next to the weights."""
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    sx = jnp.where(ax > 0, ax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "mode"))
+def _qmm_2d(x, q, scale, interpret: bool = False, mode: str = "w8a8"):
     m, k = x.shape
     n = q.shape[1]
     blocks = pick_blocks(m, k, n)
     assert blocks is not None, "caller must gate on pick_blocks"
     bm, bk, bn = blocks
+    cp = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    if mode == "w8a8":
+        bm = min(128, _round_up(max(m, 1), 32))  # int8 sublane tile is 32
+        xq, sx = _quantize_act(x)
+        mp = _round_up(m, bm)
+        if mp != m:
+            xq = jnp.pad(xq, ((0, mp - m), (0, 0)))
+        grid = (mp // bm, n // bn, k // bk)
+        acc = pl.pallas_call(
+            functools.partial(_kernel_w8a8, nk=grid[2]),
+            out_shape=jax.ShapeDtypeStruct((mp, n), jnp.int32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda mi, ni, ki: (mi, ki)),
+                pl.BlockSpec((bk, bn), lambda mi, ni, ki: (ki, ni)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda mi, ni, ki: (mi, ni)),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+            compiler_params=cp,
+            interpret=interpret,
+        )(xq, q)[:m]
+        # both scales ride one tiny XLA fusion over (M, N)
+        return (acc.astype(jnp.float32) * sx
+                * scale[None, :].astype(jnp.float32)).astype(x.dtype)
     mp = _round_up(m, bm)
     if mp != m:
         x = jnp.pad(x, ((0, mp - m), (0, 0)))
@@ -110,35 +192,42 @@ def _qmm_2d(x, q, scale, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda mi, ni, ki: (mi, ni)),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
+        compiler_params=cp,
         interpret=interpret,
     )(x, q, scale.astype(jnp.float32).reshape(1, n))
     return out[:m] if mp != m else out
 
 
-def _impl(x, q, scale, interpret: bool):
+def _impl(x, q, scale, interpret: bool, mode: str):
     lead = x.shape[:-1]
-    y = _qmm_2d(x.reshape(-1, x.shape[-1]), q, scale, interpret=interpret)
+    y = _qmm_2d(x.reshape(-1, x.shape[-1]), q, scale,
+                interpret=interpret, mode=mode)
     return y.reshape(*lead, q.shape[1])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def int8_matmul(x, q, scale, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def int8_matmul(x, q, scale, interpret: bool = False, mode: str = "w8a8"):
     """``x (..., K) @ dequant(q (K, N), scale (N,)) -> (..., N)`` with int8
-    weight reads.  Leading axes of ``x`` are flattened for the kernel."""
-    return _impl(x, q, scale, interpret)
+    weight reads.  Leading axes of ``x`` are flattened for the kernel.
+
+    ``mode='w8a8'`` (default): activations are int8-quantised per token
+    (dynamic absmax) and the MXU runs a native int8 x int8 contraction —
+    the weight tiles are never touched elementwise.  ``mode='w8a16'``:
+    exact weight-only dequant in VMEM (slower: a VPU pass over every
+    weight element; kept as the bit-accuracy reference).
+    """
+    return _impl(x, q, scale, interpret, mode)
 
 
-def _fwd(x, q, scale, interpret):
-    return _impl(x, q, scale, interpret), (q, scale)
+def _fwd(x, q, scale, interpret, mode):
+    return _impl(x, q, scale, interpret, mode), (q, scale)
 
 
-def _bwd(interpret, res, g):
-    del interpret
+def _bwd(interpret, mode, res, g):
+    del interpret, mode
     q, scale = res
-    # g.dtype == x.dtype (the forward output is cast to the activation dtype)
+    # g.dtype == x.dtype (the forward output is cast to the activation
+    # dtype); w8a8's activation quantisation is straight-through here
     w = (q.astype(jnp.float32) * scale[None, :].astype(jnp.float32)).astype(g.dtype)
     dx = g @ w.T
     return dx, np.zeros(q.shape, jax.dtypes.float0), jnp.zeros_like(scale)
@@ -148,8 +237,22 @@ int8_matmul.defvjp(_fwd, _bwd)
 
 
 def mode() -> str:
-    """'auto' (kernel on TPU), 'pallas' (force), 'xla' (off), 'interpret'."""
+    """'auto' (XLA dequant path — measured fastest), 'pallas' (force the
+    kernel), 'xla' (explicit off), 'interpret' (kernel, interpreter).
+
+    Default is the XLA path: end-to-end streaming serving measured the
+    fused XLA dequant-matmul at 3046 steps/s vs 2669 (kernel w8a16) and
+    2655 (kernel w8a8) — at decode geometry (M~60) the rollout makes
+    thousands of tiny weight-bound matmul calls and the Pallas launch
+    overhead outweighs the byte savings, while XLA fuses the int8
+    dequant into its matmul weight stream.  BENCHMARKS.md
+    "Quantized-weight serving"."""
     return os.environ.get("FLUID_QMM", "auto").lower()
+
+
+def act_mode() -> str:
+    """'w8a8' (default: int8 MXU) or 'w8a16' (exact dequant, slower)."""
+    return os.environ.get("FLUID_QMM_MODE", "w8a8").lower()
 
 
 def use_kernel(k: int, n: int, m_hint: int = 1) -> tuple[bool, bool]:
@@ -161,4 +264,5 @@ def use_kernel(k: int, n: int, m_hint: int = 1) -> tuple[bool, bool]:
         return True, True
     if env == "pallas":
         return True, False
-    return jax.default_backend() == "tpu", False
+    # auto: XLA dequant path (measured faster end to end — see mode())
+    return False, False

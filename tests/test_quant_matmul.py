@@ -18,39 +18,61 @@ from fluid_llm_tpu.ops.quant import dequantize_weight, quantize_weight
 from fluid_llm_tpu.ops.quant_matmul import int8_matmul, pick_blocks, use_kernel
 
 
+@pytest.mark.parametrize("mode,atol", [("w8a16", 0.08), ("w8a8", 0.25)])
 @pytest.mark.parametrize(
     "m,k,n",
     [
         (60, 768, 768),    # streaming decode frame x qkv-ish
         (61, 768, 2304),   # fused qkv width (odd M exercises row padding)
         (128, 3072, 768),  # fc2 (K loop: BK=1536, nk=2)
-        (5, 768, 3072),    # fc1, tiny M (BM=16 pad)
+        (5, 768, 3072),    # fc1, tiny M (BM pad)
         (488, 384, 128),   # multi-M-block + small dims
     ],
 )
-def test_matches_xla_dequant(m, k, n):
+def test_matches_xla_dequant(m, k, n, mode, atol):
     rng = np.random.default_rng(0)
     w = jnp.asarray(rng.normal(size=(k, n)), jnp.float32) * 0.02
     x = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
     qp = quantize_weight(w)
     ref = (x @ dequantize_weight(qp, jnp.bfloat16)).astype(jnp.float32)
-    got = int8_matmul(x, qp["q"], qp["scale"], True).astype(jnp.float32)
+    got = int8_matmul(x, qp["q"], qp["scale"], True, mode).astype(jnp.float32)
     assert got.dtype == ref.dtype and got.shape == ref.shape
-    # identical contraction up to bf16 rounding of the weight copy (the
-    # kernel scales in f32 after accumulation — if anything, tighter)
+    # w8a16: identical contraction up to bf16 rounding of the weight copy
+    # (the kernel scales in f32 after accumulation — if anything, tighter).
+    # w8a8 adds per-token int8 activation rounding (~1/254 relative).
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=0.08, rtol=0.02)
+                               atol=atol, rtol=0.03)
 
 
-def test_leading_axes_flattened():
+@pytest.mark.parametrize("mode", ["w8a16", "w8a8"])
+def test_leading_axes_flattened(mode):
     rng = np.random.default_rng(1)
     w = jnp.asarray(rng.normal(size=(128, 256)), jnp.float32)
     qp = quantize_weight(w)
     x = jnp.asarray(rng.normal(size=(2, 3, 128)), jnp.bfloat16)
-    got = int8_matmul(x, qp["q"], qp["scale"], True)
+    got = int8_matmul(x, qp["q"], qp["scale"], True, mode)
     assert got.shape == (2, 3, 256)
-    flat = int8_matmul(x.reshape(6, 128), qp["q"], qp["scale"], True)
+    flat = int8_matmul(x.reshape(6, 128), qp["q"], qp["scale"], True, mode)
     np.testing.assert_array_equal(np.asarray(got.reshape(6, 256)), np.asarray(flat))
+
+
+def test_w8a8_activation_quant_exact_on_integer_grids():
+    """With integer activations whose per-row absmax is exactly 127 the
+    dynamic absmax scale is 1, so the w8a8 quantisation is EXACT and the
+    only difference vs the dequant oracle is f32 summation order."""
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.integers(-3, 4, size=(128, 128)), jnp.float32)
+    qp = quantize_weight(w)
+    xi = rng.integers(-126, 127, size=(8, 128))
+    xi[:, 0] = 127  # pin per-row absmax -> sx == 1 exactly
+    x = jnp.asarray(xi, jnp.float32)
+    got = int8_matmul(x, qp["q"], qp["scale"], True, "w8a8")
+    # same association as the kernel ((x @ q) * scale): the int products
+    # and sums are < 2^24 so the f32 contraction is exact, proving the
+    # activation quantisation added NO error.  (The dequant oracle
+    # rounds q*scale per element first — a different f32 association.)
+    ref = (x @ qp["q"].astype(jnp.float32)) * qp["scale"][None, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
 
 
 def test_grad_matches_dequant_twin():
