@@ -59,6 +59,40 @@ def _to_device(batch):
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
+def _prefetch_device(batch_iter, depth: int = 2):
+    """Stage host batch assembly + device transfer ``depth`` batches ahead
+    of compute on a worker thread (the EAGLE-scale profile shows the wall
+    step is host/transfer-bound ~5x over device time; the analog of the
+    reference's ``DataLoader(num_workers, prefetch_factor)``,
+    ``train_mgn.py:96``).  ``depth=0`` disables (synchronous)."""
+    if depth <= 0:
+        for batch in batch_iter:
+            yield _to_device(batch)
+        return
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+
+    def worker():
+        try:
+            for item in batch_iter:
+                q.put(_to_device(item))
+            q.put(done)
+        except BaseException as e:  # surface on the consumer side
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def build_dataset(args, mode, window):
     if args.model == "dilresnet":
         from fluid_llm_tpu.data.synthetic import SyntheticCylinderDataset
@@ -182,8 +216,10 @@ def run_graph_model(args):
     prof_on = False
     for epoch in range(args.epoch):
         t_ep, n_steps = _time.monotonic(), 0
-        for batch in iterate_graph_batches(
-            train_ds, args.batch_size, shuffle=True, seed=epoch, ghost_type_value=ghost
+        for dev_batch in _prefetch_device(
+            iterate_graph_batches(train_ds, args.batch_size, shuffle=True,
+                                  seed=epoch, ghost_type_value=ghost),
+            depth=args.prefetch,
         ):
             if args.profile_dir and epoch == 0 and n_steps == 2:
                 float(loss)  # drain compile + warmup before the capture
@@ -191,7 +227,7 @@ def run_graph_model(args):
                 prof_on = True
             rng, sk = jax.random.split(rng)
             params, norm, opt_state, loss = step(
-                params, norm, opt_state, _to_device(batch), sk, jnp.float32(lr)
+                params, norm, opt_state, dev_batch, sk, jnp.float32(lr)
             )
             n_steps += 1
             if prof_on and n_steps == 6:
@@ -222,8 +258,10 @@ def run_graph_model(args):
 
 def validate_graph(args, params, norm, ds, apply_fn, loss_fn, stateful, ghost):
     tot, cpt = 0.0, 0
-    for batch in iterate_graph_batches(ds, args.batch_size, shuffle=False, ghost_type_value=ghost):
-        b = _to_device(batch)
+    for b in _prefetch_device(
+        iterate_graph_batches(ds, args.batch_size, shuffle=False, ghost_type_value=ghost),
+        depth=args.prefetch,
+    ):
         if stateful:
             sh, oh, tgt, _ = apply_fn(
                 params, norm, b["mesh_pos"], b["edges"].astype(jnp.int32),
@@ -389,6 +427,9 @@ def main(argv=None):
     parser.add_argument("--profile_dir", default=None,
                         help="jax.profiler trace of train steps 2-5 of epoch 0 "
                              "+ per-op device-time rollup (graph models)")
+    parser.add_argument("--prefetch", type=int, default=2,
+                        help="batches staged ahead (host build + device put "
+                             "on a worker thread); 0 = synchronous")
     parser.add_argument("--save_dir", default="trained_models")
     args = parser.parse_args(argv)
     if args.horizon_eval is None:

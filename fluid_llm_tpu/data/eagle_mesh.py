@@ -49,13 +49,21 @@ def natsorted(items):
 
 def faces_to_edges(faces: np.ndarray) -> np.ndarray:
     """Triangles -> unique undirected edges, both directions
-    (``MGN.py:163-174``).  faces: (F, 3) -> (E, 2) int32."""
+    (``MGN.py:163-174``).  faces: (F, 3) -> (E, 2) int32.
+
+    The edge list is sorted by column 0 — the column every model
+    aggregates and gathers at (``Base.py:44``; message passing is
+    invariant to edge order).  Sorted ids are what lets
+    ``ops/segment_sum_pallas`` replace the TPU's serialized scatter
+    with MXU one-hot contractions; ghost padding appends ``n_max``
+    self-loops (``collate_graphs``), which keeps the order sorted."""
     edges = np.concatenate([faces[:, :2], faces[:, 1:], faces[:, ::2]], axis=0)
     senders = edges.max(axis=-1)
     receivers = edges.min(axis=-1)
     packed = np.stack([senders, receivers], axis=-1)
     unique = np.unique(packed, axis=0)
-    return np.concatenate([unique, unique[:, ::-1]], axis=0).astype(np.int32)
+    both = np.concatenate([unique, unique[:, ::-1]], axis=0).astype(np.int32)
+    return both[np.lexsort((both[:, 1], both[:, 0]))]
 
 
 @dataclass
@@ -333,7 +341,11 @@ def collate_graphs(
     B = len(samples)
     T = samples[0].state.shape[0]
     S = samples[0].state.shape[-1]
-    Np, Ep = n_max + 1, e_max + 1
+    # Ep rounds up to the segment-kernel chunk (256) so the flattened
+    # edge axis needs NO device-side row padding in ops/segment_sum_pallas
+    # (the pad fusions measured ~10 ms/step at EAGLE scale); the extra
+    # slots are ordinary ghost self-loops like the +1 the reference pads.
+    Np, Ep = n_max + 1, -(-(e_max + 1) // 256) * 256
 
     out = {
         "mesh_pos": np.zeros((B, T, Np, 2), np.float32),
@@ -378,6 +390,38 @@ def iterate_graph_batches(
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
+    guard = _sorted_contract_guard()
     for i in range(0, len(order), batch_size):
         samples = [dataset[int(j)] for j in order[i:i + batch_size]]
-        yield collate_graphs(samples, n_max, e_max, c_max, ghost_type_value, k_max=k_max)
+        batch = collate_graphs(samples, n_max, e_max, c_max, ghost_type_value, k_max=k_max)
+        guard(batch)
+        yield batch
+
+
+def _sorted_contract_guard():
+    """Per-batch host check of the static ``sorted=True`` promise the
+    models make for ``edges[..., 0]`` (``ops/segment_ops``).  Active only
+    when the Pallas segment kernels will actually engage; raises loudly
+    instead of letting the kernel silently drop out-of-window edges."""
+    import jax
+
+    from fluid_llm_tpu.ops import segment_sum_pallas as ssp
+
+    if ssp.mode() == "xla" or (
+        ssp.mode() == "auto" and jax.default_backend() != "tpu"
+    ):
+        return lambda batch: None
+
+    def check(batch):
+        col0 = batch["edges"][..., 0]
+        n_per = batch["mesh_pos"].shape[-2]
+        if not ssp.host_kernel_ok(col0, n_per):
+            raise ValueError(
+                "edges[..., 0] violates the sorted/window contract the "
+                "segment-sum kernels rely on (custom dataset with "
+                "unsorted edge lists or extreme degree skew?).  Sort "
+                "edges by column 0 per graph (see faces_to_edges) or set "
+                "FLUID_SEGSUM=xla to disable the kernels."
+            )
+
+    return check

@@ -93,11 +93,43 @@ class SyntheticGraphDataset:
     def __len__(self):
         return self.n_trajectories
 
-    def __getitem__(self, item: int):
+    def _trajectory(self, item: int):
+        """Everything deterministic per item — mesh, the FULL analytic
+        trajectory, edges, types, clusters — computed once and cached
+        (it cost ~seconds per access at EAGLE scale: 600 field steps +
+        constrained k-means per __getitem__; only the window start
+        varies between epochs)."""
+        if not hasattr(self, "_traj_cache"):
+            self._traj_cache = {}
+        if item in self._traj_cache:
+            return self._traj_cache[item]
         from fluid_llm_tpu.data.eagle_mesh import NODE_INPUT, NODE_NORMAL, NODE_OUTPUT, NODE_WALL
 
         pos, faces = make_cylinder_mesh(self.base_seed + item, *self.mesh_nodes)
-        states = analytic_flow(pos, self.max_steps, self.base_seed + item)  # (T, 3, N)
+        states = analytic_flow(pos, self.max_steps, self.base_seed + item)
+        states = np.ascontiguousarray(states, np.float32)  # (T, 3, N)
+
+        node_type = np.full(len(pos), NODE_NORMAL, np.int64)
+        node_type[pos[:, 0] <= pos[:, 0].min()] = NODE_INPUT
+        node_type[pos[:, 0] >= pos[:, 0].max()] = NODE_OUTPUT
+        node_type[(pos[:, 1] <= pos[:, 1].min()) | (pos[:, 1] >= pos[:, 1].max())] = NODE_WALL
+
+        cl = None
+        if self.n_cluster > 0:
+            from fluid_llm_tpu.tools.clusterize import constrained_kmeans
+
+            cl = constrained_kmeans(pos, self.n_cluster, seed=self.base_seed + item)
+
+        entry = (
+            pos.astype(np.float32), faces, states,
+            self._faces_to_edges(faces.astype(np.int64)),
+            self._one_hot9(node_type), cl,
+        )
+        self._traj_cache[item] = entry
+        return entry
+
+    def __getitem__(self, item: int):
+        pos, faces, states, edges, nt9, cl = self._trajectory(item)
 
         T = self.window_length
         t0 = 100 if self.mode != "train" else int(
@@ -109,25 +141,12 @@ class SyntheticGraphDataset:
         press = np.repeat(window[..., 2:], 2, axis=-1)
         state = np.concatenate([vel, press], axis=-1).astype(np.float32)
 
-        node_type = np.full(len(pos), NODE_NORMAL, np.int64)
-        node_type[pos[:, 0] <= pos[:, 0].min()] = NODE_INPUT
-        node_type[pos[:, 0] >= pos[:, 0].max()] = NODE_OUTPUT
-        node_type[(pos[:, 1] <= pos[:, 1].min()) | (pos[:, 1] >= pos[:, 1].max())] = NODE_WALL
-
-        cluster = None
-        if self.n_cluster > 0:
-            from fluid_llm_tpu.tools.clusterize import constrained_kmeans
-
-            cl = constrained_kmeans(pos, self.n_cluster, seed=self.base_seed + item)
-            cluster = np.repeat(cl[None], T, axis=0)
-
-        nt = np.repeat(self._one_hot9(node_type)[None], T, axis=0)
-        mesh_pos = np.repeat(pos.astype(np.float32)[None], T, axis=0)
+        cluster = np.repeat(cl[None], T, axis=0) if cl is not None else None
         return self._GraphSample(
-            mesh_pos=mesh_pos,
-            edges=self._faces_to_edges(faces.astype(np.int64)),
+            mesh_pos=np.repeat(pos[None], T, axis=0),
+            edges=edges,
             state=state,
-            node_type=nt,
+            node_type=np.repeat(nt9[None], T, axis=0),
             cluster=cluster,
             faces=faces,
         )

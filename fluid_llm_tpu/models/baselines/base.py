@@ -87,10 +87,12 @@ def gnn_init(key, n_hidden=2, node_size=128, edge_size=128, output_size=None, la
 
 def gnn_apply(p: Params, V, E, edges):
     """``Base.py:36-49``.  V: (B, N, Fv); E: (B, Ne, Fe); edges: (B, Ne, 2)."""
-    senders = gather_nodes(V, edges[..., 0])
-    receivers = gather_nodes(V, edges[..., 1])
+    # edges[..., 0] is dataloader-sorted (faces_to_edges) -> static
+    # sorted=True engages the Pallas MXU kernels; edges[..., 1] is not
+    senders = gather_nodes(V, edges[..., 0], sorted=True)
+    receivers = gather_nodes(V, edges[..., 1], sorted=False)
     edge_emb = mlp_apply(p["f_edge"], jnp.concatenate([senders, receivers, E], axis=-1))
-    edge_sum = segment_sum_nodes(edge_emb, edges[..., 0], V.shape[-2])
+    edge_sum = segment_sum_nodes(edge_emb, edges[..., 0], V.shape[-2], sorted=True)
     node_emb = mlp_apply(p["f_node"], jnp.concatenate([V, edge_sum], axis=-1))
     return node_emb, edge_emb
 
@@ -108,8 +110,8 @@ def gat_init(key, node_size, output_size):
 
 def gat_apply(p: Params, V, E, edges):
     """``Base.py:64-86``: exp-weighted scatter attention at the sender index."""
-    senders = gather_nodes(V, edges[..., 0])
-    receivers = gather_nodes(V, edges[..., 1])
+    senders = gather_nodes(V, edges[..., 0], sorted=True)
+    receivers = gather_nodes(V, edges[..., 1], sorted=False)
     h_sender = senders @ p["f_edge"]["w"]
     h_receiver = receivers @ p["f_edge"]["w"]
 
@@ -118,8 +120,8 @@ def gat_apply(p: Params, V, E, edges):
     attention = jnp.exp(attention - jnp.max(attention, axis=1, keepdims=True))
 
     n = V.shape[-2]
-    numerator = segment_sum_nodes(attention * h_sender, edges[..., 0], n)
-    denominator = segment_sum_nodes(attention, edges[..., 0], n)
+    numerator = segment_sum_nodes(attention * h_sender, edges[..., 0], n, sorted=True)
+    denominator = segment_sum_nodes(attention, edges[..., 0], n, sorted=True)
     return numerator / (denominator + 1e-8)
 
 

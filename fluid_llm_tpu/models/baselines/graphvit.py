@@ -66,8 +66,9 @@ def positional_encoder(mesh_pos, clusters, cluster_mask):
     B, N, _ = mesh_pos.shape
     _, C, K = clusters.shape
     flat = clusters.reshape(B, C * K)
-    pos_by_cluster = gather_nodes(
-        jnp.pad(mesh_pos, ((0, 0), (0, 1), (0, 0))), jnp.minimum(flat, N)
+    pos_by_cluster = gather_nodes(  # cluster ids: unsorted by design
+        jnp.pad(mesh_pos, ((0, 0), (0, 1), (0, 0))), jnp.minimum(flat, N),
+        sorted=False,
     ).reshape(B, C, K, 2)
 
     centers = jnp.sum(pos_by_cluster * cluster_mask[..., None], axis=-2)
@@ -225,8 +226,8 @@ def _pooling(params, V, clusters, pos_enc, cluster_mask):
     flat = jnp.minimum(clusters.reshape(B, C * K), N)
     Vp = jnp.pad(V, ((0, 0), (0, 1), (0, 0)))
     pos_p = jnp.pad(pos_enc, ((0, 0), (0, 1), (0, 0)))
-    v_by_cluster = gather_nodes(Vp, flat).reshape(B, C, K, F)
-    pos_by_cluster = gather_nodes(pos_p, flat).reshape(B, C, K, -1)
+    v_by_cluster = gather_nodes(Vp, flat, sorted=False).reshape(B, C, K, F)
+    pos_by_cluster = gather_nodes(pos_p, flat, sorted=False).reshape(B, C, K, -1)
     inpt = jnp.concatenate([v_by_cluster, pos_by_cluster], axis=-1)
 
     # hidden size derived from the pooling MLP's output width

@@ -44,8 +44,8 @@ Params = dict[str, Any]
 
 def edge_features(mesh_pos, edges):
     """[sender-receiver distance, norm] (``MeshGraphNet.py:70-76``)."""
-    senders = gather_nodes(mesh_pos, edges[..., 0])
-    receivers = gather_nodes(mesh_pos, edges[..., 1])
+    senders = gather_nodes(mesh_pos, edges[..., 0], sorted=True)
+    receivers = gather_nodes(mesh_pos, edges[..., 1], sorted=False)
     distance = senders - receivers
     norm = jnp.sqrt(jnp.sum(distance**2, axis=-1, keepdims=True))
     return jnp.concatenate([distance, norm], axis=-1)

@@ -1,0 +1,280 @@
+"""Pallas sorted segment-sum / segment-gather: scatter as MXU matmuls.
+
+TPU equivalent of torch-scatter's CUDA ``scatter_sum`` fast path
+(``eagle/Models/Base.py:3,44,82``).  XLA lowers ``segment_sum`` /
+row-``gather`` to serialized per-row updates on the TPU: at EAGLE scale
+(batch 4 x 20,369 edges -> 3,529 nodes, F=128) each scatter measures
+**9.05 ms** and each gather ~10 ms for ~40 MB moved — two orders of
+magnitude off the HBM roofline, and ~85 % of the MeshGraphNet device
+step (BENCHMARKS.md "EAGLE-scale baseline stress").
+
+The kernel exploits the one property a mesh graph gives away for free:
+edge lists are STATIC per trajectory, so the dataloader can emit them
+sorted by the aggregation column at zero runtime cost
+(``data/eagle_mesh.faces_to_edges`` sorts by ``edges[..., 0]``, the
+column every reference model aggregates at — ``Base.py:44``).  With
+sorted segment ids, a chunk of ``CHUNK`` consecutive edges touches a
+node window of width ≤ ``WINDOW`` (mesh degree ~6 ⇒ ~44 rows per 256
+edges), and scatter becomes a dense one-hot contraction on the MXU::
+
+    out[row0:row0+W] += onehot(ids - row0)ᵀ @ values[chunk]   # (W,C)@(C,F)
+
+Grid ``(n_stripes, n_chunks)``: the f-stripe (128 lanes) is outer so the
+``(n_pad, 128)`` f32 output stripe stays RESIDENT in VMEM across all
+chunk steps (~7 MB at 14k rows — gated on the ~16 MB VMEM budget) and is
+written back to HBM exactly once.  The gather twin reads the resident
+node stripe through the same window: ``out[chunk] = onehot @ window``.
+
+Correct by construction, not by hope: the public wrappers compute a
+runtime predicate (ids sorted AND every chunk span fits the window) and
+``lax.cond`` between the kernel and the XLA twin — adversarial inputs
+(hub nodes, unsorted ids, cluster indices) silently take the XLA path.
+Dropping semantics match ``jax.ops.segment_sum``: ids outside
+``[0, num_segments)`` contribute nothing.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 256  # edges per grid step
+WINDOW = 512  # node-row window per chunk (mesh chunks span ~44 rows)
+LANE = 128  # feature stripe width
+_VMEM_ROWS_MAX = 20480  # resident stripe budget: rows * 128 * 4 B ≤ ~10 MB
+
+# MXU passes for the one-hot contraction.  Precision.DEFAULT runs the
+# f32 dot as ONE bf16 pass — the VALUES get truncated (2.1e-3 rel err
+# measured on chip).  Precision.HIGHEST fixes that at 6 passes but costs
+# 14x (14.8 vs 1.07 ms/call at EAGLE scale), and Mosaic rejects
+# Precision.HIGH outright.  The right decomposition is manual: the
+# one-hot operand is EXACTLY representable in bf16, so only the values
+# need splitting into bf16 limbs — K passes recover ~8K mantissa bits.
+# K=2 (default) ≈ 1e-5 rel err at ~2x the 1-pass cost; K=3 is
+# f32-exact (matches HIGHEST, ~4.7x cheaper).  Override with
+# FLUID_SEGSUM_PASSES=1|2|3.
+_PASSES = int(os.environ.get("FLUID_SEGSUM_PASSES", "2"))
+
+
+def _onehot_dot(oh, vals, dimension_numbers):
+    """dot_general(one-hot bool, f32 values) via bf16 value limbs."""
+    oh16 = oh.astype(jnp.bfloat16)
+    rem = vals.astype(jnp.float32)
+    acc = None
+    for _ in range(max(_PASSES, 1)):
+        limb = rem.astype(jnp.bfloat16)
+        rem = rem - limb.astype(jnp.float32)
+        part = jax.lax.dot_general(
+            oh16, limb, dimension_numbers=dimension_numbers,
+            preferred_element_type=jnp.float32,
+        )
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _clamped_row0(ids_ref, n_pad: int):
+    """Window start: chunk's first id, floored to the f32 sublane tile (8)
+    and clamped so ``[row0, row0+WINDOW)`` stays inside the padded rows."""
+    row0 = (ids_ref[0, 0, 0] // 8) * 8
+    row0 = jnp.minimum(row0, n_pad - WINDOW)
+    return jnp.maximum(row0, 0)
+
+
+def _scatter_kernel(ids_ref, vals_ref, o_ref, *, n_seg: int):
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    n_pad = o_ref.shape[0]
+    ids = ids_ref[0]  # (1, C) int32 (the ref block is (1, 1, C))
+    row0 = _clamped_row0(ids_ref, n_pad)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, ids.shape[1]), 0)
+    oh = (iota == (ids - row0)) & (ids >= 0) & (ids < n_seg)
+    part = _onehot_dot(oh, vals_ref[...], (((1,), (0,)), ((), ())))
+    o_ref[pl.ds(row0, WINDOW), :] += part
+
+
+def _expand_kernel(ids_ref, nodes_ref, o_ref, *, n_seg: int):
+    n_pad = nodes_ref.shape[0]
+    ids = ids_ref[0]  # (1, C) (the ref block is (1, 1, C))
+    row0 = _clamped_row0(ids_ref, n_pad)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, ids.shape[1]), 0)
+    oh = (iota == (ids - row0)) & (ids >= 0) & (ids < n_seg)
+    win = nodes_ref[pl.ds(row0, WINDOW), :]
+    # contract the window axis: (W,C)x(W,F)->(C,F)
+    out = _onehot_dot(oh, win, (((0,), (0,)), ((), ())))
+    o_ref[...] = out
+
+
+@functools.partial(jax.jit, static_argnames=("n_seg", "n_pad", "interpret"))
+def _scatter_call(ids2, vals2, n_seg: int, n_pad: int, interpret: bool):
+    ng = ids2.shape[0]
+    mp, fp = vals2.shape
+    out = pl.pallas_call(
+        functools.partial(_scatter_kernel, n_seg=n_seg),
+        grid=(fp // LANE, ng),
+        in_specs=[
+            # ids ride as (ng, 1, C): a (1, 1, C) block satisfies Mosaic's
+            # last-two-dims rule by matching the full array extents
+            pl.BlockSpec((1, 1, CHUNK), lambda f, g: (g, 0, 0)),
+            pl.BlockSpec((CHUNK, LANE), lambda f, g: (g, f)),
+        ],
+        out_specs=pl.BlockSpec((n_pad, LANE), lambda f, g: (0, f)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, fp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(ids2, vals2)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("n_seg", "interpret"))
+def _expand_call(ids2, nodes2, n_seg: int, interpret: bool):
+    ng = ids2.shape[0]
+    n_pad, fp = nodes2.shape
+    out = pl.pallas_call(
+        functools.partial(_expand_kernel, n_seg=n_seg),
+        grid=(fp // LANE, ng),
+        in_specs=[
+            pl.BlockSpec((1, 1, CHUNK), lambda f, g: (g, 0, 0)),
+            pl.BlockSpec((n_pad, LANE), lambda f, g: (0, f)),
+        ],
+        out_specs=pl.BlockSpec((CHUNK, LANE), lambda f, g: (g, f)),
+        out_shape=jax.ShapeDtypeStruct((ng * CHUNK, fp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(ids2, nodes2)
+    return out
+
+
+def mode() -> str:
+    """'auto' (kernel on TPU), 'pallas' (force), 'xla' (off),
+    'interpret' (kernel in the Pallas interpreter — CPU tests)."""
+    return os.environ.get("FLUID_SEGSUM", "auto").lower()
+
+
+def use_kernel(n_rows_total: int, m_total: int) -> tuple[bool, bool]:
+    """(use, interpret) for a flattened (segments=n_rows_total,
+    items=m_total) problem on this backend."""
+    env = mode()
+    n_pad = _round_up(max(n_rows_total + 8, WINDOW), LANE)
+    if env == "xla" or n_pad > _VMEM_ROWS_MAX or m_total < CHUNK:
+        return False, False
+    if env == "interpret":
+        return True, True
+    if env == "pallas":
+        return True, False
+    return jax.default_backend() == "tpu", False
+
+
+def host_kernel_ok(ids: np.ndarray, n_per_batch: int) -> bool:
+    """NumPy mirror of the kernel predicate for a HOST batch of ids
+    (..., E): sorted after batch-major flattening with per-row offsets,
+    and every CHUNK span fits the WINDOW.  ``iterate_graph_batches``
+    asserts this per batch — the loud guard behind the static
+    ``sorted=True`` contract at the model call sites."""
+    b = int(np.prod(ids.shape[:-1])) if ids.ndim > 1 else 1
+    flat = (ids.reshape(b, -1).astype(np.int64)
+            + (np.arange(b, dtype=np.int64) * n_per_batch)[:, None]).reshape(-1)
+    if np.any(np.diff(flat) < 0):
+        return False
+    mp = _round_up(flat.shape[0], CHUNK)
+    flat = np.pad(flat, (0, mp - flat.shape[0]), mode="edge")
+    chunks = flat.reshape(-1, CHUNK)
+    return bool(np.all(chunks[:, -1] - chunks[:, 0] <= WINDOW - 8))
+
+
+def _flatten(idx, n_per_batch: int):
+    """idx (..., E) -> globally-offset flat int32 ids (B*E,), B."""
+    b = int(np.prod(idx.shape[:-1])) if idx.ndim > 1 else 1
+    off = (jnp.arange(b, dtype=jnp.int32) * n_per_batch)[:, None]
+    return (idx.reshape(b, -1).astype(jnp.int32) + off).reshape(-1), b
+
+
+def _prep_ids(ids_flat):
+    """Pad flat sorted ids to a CHUNK multiple (edge mode — keeps spans
+    tight) and compute the kernel-eligibility predicate."""
+    m = ids_flat.shape[0]
+    mp = _round_up(m, CHUNK)
+    ids_p = jnp.pad(ids_flat, (0, mp - m), mode="edge")
+    ids2 = ids_p.reshape(mp // CHUNK, 1, CHUNK)
+    sorted_ok = jnp.all(ids_flat[1:] >= ids_flat[:-1])
+    fits = jnp.all(ids2[:, 0, -1] - ids2[:, 0, 0] <= WINDOW - 8)
+    return ids2, sorted_ok & fits, m, mp
+
+
+def _pad_feat(x2, mp_rows: int):
+    m, f = x2.shape
+    fp = _round_up(max(f, 1), LANE)
+    return jnp.pad(x2, ((0, mp_rows - m), (0, fp - f)))
+
+
+def segment_sum_flat(values2, ids_flat, num_segments: int,
+                     interpret: bool = False, assume_sorted: bool = False):
+    """values2 (M, F) summed into (num_segments, F) by flat ids.
+
+    ``assume_sorted=False``: a runtime predicate (sorted + spans fit)
+    picks kernel vs XLA via ``lax.cond`` — always correct, but the TPU
+    conditional COPIES its big operands (~8 ms/call at EAGLE scale,
+    measured: it ate the entire kernel win).  ``assume_sorted=True``:
+    the kernel is called directly with no cond — for call sites with a
+    static sortedness contract (dataloader-sorted ``edges[..., 0]``;
+    ``iterate_graph_batches`` asserts it on the host per batch)."""
+    m, f = values2.shape
+    ids2, pred, _, mp = _prep_ids(ids_flat)
+    n_pad = _round_up(max(num_segments + 8, WINDOW), LANE)
+    vals_p = _pad_feat(values2, mp)
+
+    def kern(v, i):
+        out = _scatter_call(i, v, num_segments, n_pad, interpret)
+        return out[:num_segments, :f].astype(values2.dtype)
+
+    def xla(v, i):
+        return jax.ops.segment_sum(
+            v[:m, :f], ids_flat, num_segments=num_segments
+        ).astype(values2.dtype)
+
+    if assume_sorted:
+        return kern(vals_p, ids2)
+    return jax.lax.cond(pred, kern, xla, vals_p, ids2)
+
+
+def gather_flat(nodes2, ids_flat, interpret: bool = False,
+                assume_sorted: bool = False):
+    """rows (M, F) = nodes2[ids_flat] with zeros for out-of-range ids;
+    kernel when the sorted/window predicate holds (or is statically
+    promised via ``assume_sorted`` — see ``segment_sum_flat``)."""
+    n, f = nodes2.shape
+    ids2, pred, m, _ = _prep_ids(ids_flat)
+    n_pad = _round_up(max(n + 8, WINDOW), LANE)
+    nodes_p = _pad_feat(nodes2, n_pad)
+
+    def kern(nd, i):
+        out = _expand_call(i, nd, n, interpret)
+        return out[:m, :f].astype(nodes2.dtype)
+
+    def xla(nd, i):
+        # same semantics as the kernel: out-of-range ids -> zero rows
+        # (the VJP transpose of segment_sum's dropping)
+        rows = jnp.take(nd[:n, :f], jnp.clip(ids_flat, 0, n - 1), axis=0)
+        ok = (ids_flat >= 0) & (ids_flat < n)
+        return jnp.where(ok[:, None], rows, 0).astype(nodes2.dtype)
+
+    if assume_sorted:
+        return kern(nodes_p, ids2)
+    return jax.lax.cond(pred, kern, xla, nodes_p, ids2)

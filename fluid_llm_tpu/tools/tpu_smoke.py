@@ -341,7 +341,9 @@ def check_moe(L: int = 661, E: int = 8, top_k: int = 2) -> None:
 def check_quant_matmul(M: int = 61, K: int = 768, N: int = 2304) -> None:
     """Pallas int8-weight matmul (``ops/quant_matmul``) vs the XLA dequant
     path at the streaming-decode geometry (one frame x fused qkv) on the
-    real Mosaic toolchain — int8 tile DMA, in-VMEM cast, f32-scale epilogue."""
+    real Mosaic toolchain.  Both modes: ``w8a16`` (exact in-VMEM dequant,
+    bit-accuracy reference) and ``w8a8`` (native int8 x int8 MXU dot with
+    per-token activation quantisation — the serving default)."""
     import jax
     import jax.numpy as jnp
 
@@ -353,12 +355,57 @@ def check_quant_matmul(M: int = 61, K: int = 768, N: int = 2304) -> None:
     x = jnp.asarray((rng.normal(size=(M, K))).astype(np.float32), jnp.bfloat16)
     qp = quantize_weight(w)
     ref = np.asarray(x @ dequantize_weight(qp, jnp.bfloat16), np.float32)
-    out = np.asarray(jax.jit(
-        lambda a, q, s: int8_matmul(a, q, s)
-    )(x, qp["q"], qp["scale"]), np.float32)
-    err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
-    assert err < 1e-2, f"quant_matmul kernel mismatch: rel err {err:.3e}"
-    print(f"quant_matmul kernel OK on {jax.default_backend()} (rel err {err:.2e})")
+    for mode, tol in (("w8a16", 1e-2), ("w8a8", 3e-2)):
+        out = np.asarray(jax.jit(
+            lambda a, q, s: int8_matmul(a, q, s, False, mode)
+        )(x, qp["q"], qp["scale"]), np.float32)
+        err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < tol, f"quant_matmul {mode} mismatch: rel err {err:.3e}"
+        print(f"quant_matmul {mode} OK on {jax.default_backend()} "
+              f"(rel err {err:.2e})")
+
+
+def check_segment_sum(E: int = 4096, N: int = 480, F: int = 128) -> None:
+    """Sorted segment-sum/gather Pallas kernels (``ops/segment_sum_pallas``)
+    vs the XLA scatter/take twins at mesh-like density, called DIRECTLY
+    (not through the lax.cond dispatch) so the Mosaic lowering is the
+    thing being qualified."""
+    import jax
+    import jax.numpy as jnp
+
+    from fluid_llm_tpu.ops import segment_sum_pallas as ssp
+
+    rng = np.random.default_rng(5)
+    ids_np = np.sort(rng.integers(0, N, size=E)).astype(np.int32)
+    vals = jnp.asarray(rng.normal(size=(E, F)).astype(np.float32))
+    ids2, _, _, _ = ssp._prep_ids(jnp.asarray(ids_np))
+    n_pad = ssp._round_up(max(N + 8, ssp.WINDOW), ssp.LANE)
+    got = np.asarray(ssp._scatter_call(ids2, vals, N, n_pad, False))[:N]
+    ref = np.asarray(jax.ops.segment_sum(vals, jnp.asarray(ids_np),
+                                         num_segments=N))
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 1e-5, f"segment_sum kernel mismatch: rel err {err:.3e}"
+    nodes = jnp.asarray(rng.normal(size=(n_pad, F)).astype(np.float32))
+    gout = np.asarray(ssp._expand_call(ids2, nodes, N, False))[:E]
+    gref = np.asarray(nodes)[ids_np]
+    gerr = np.abs(gout - gref).max() / (np.abs(gref).max() + 1e-9)
+    assert gerr < 1e-6, f"segment gather kernel mismatch: rel err {gerr:.3e}"
+    print(f"segment_sum kernels OK on {jax.default_backend()} "
+          f"(scatter rel err {err:.1e}, gather {gerr:.1e})")
+
+
+CHECKS = (
+    ("flash", lambda: check_flash(2048)),
+    ("grid_gnn", lambda: check_grid_gnn(16)),
+    ("grid_gnn_mh", lambda: check_grid_gnn(16, heads=2, cdim=24)),
+    ("indexed_linear", lambda: check_indexed_linear()),
+    ("decode_attention", lambda: check_decode_attention()),
+    ("exact_attention", lambda: check_exact_attention()),
+    ("quant_matmul", lambda: check_quant_matmul()),
+    ("segment_sum", lambda: check_segment_sum()),
+    ("streaming", lambda: check_streaming()),
+    ("moe", lambda: check_moe()),
+)
 
 
 def run_checks(only: str | None = None) -> dict:
@@ -370,19 +417,8 @@ def run_checks(only: str | None = None) -> dict:
     """
     import jax
 
-    checks = (
-        ("flash", lambda: check_flash(2048)),
-        ("grid_gnn", lambda: check_grid_gnn(16)),
-        ("grid_gnn_mh", lambda: check_grid_gnn(16, heads=2, cdim=24)),
-        ("indexed_linear", check_indexed_linear),
-        ("decode_attention", lambda: check_decode_attention()),
-        ("exact_attention", lambda: check_exact_attention()),
-        ("quant_matmul", lambda: check_quant_matmul()),
-        ("streaming", lambda: check_streaming()),
-        ("moe", lambda: check_moe()),
-    )
     results = {"backend": jax.default_backend()}
-    for name, fn in checks:
+    for name, fn in CHECKS:
         if only not in (None, name):
             continue
         try:
@@ -401,9 +437,7 @@ def main() -> int:
 
     parser = argparse.ArgumentParser()
     parser.add_argument("only", nargs="?", default=None,
-                        choices=[None, "flash", "grid_gnn", "grid_gnn_mh", "indexed_linear",
-                                 "decode_attention", "exact_attention",
-                                 "streaming", "moe"])
+                        choices=[None, *(name for name, _ in CHECKS)])
     parser.add_argument("--json", default=None, help="write results to PATH")
     args = parser.parse_args()
 
@@ -416,6 +450,8 @@ def main() -> int:
             json.dump(results, f, indent=1)
     failed = [k for k, v in results.items() if k != "backend" and v != "ok"]
     print("TPU kernel smoke:", "ALL OK" if not failed else f"FAILED: {failed}")
+    for name in failed:
+        print(f"  {name}: {results[name]}")
     return 1 if failed else 0
 
 

@@ -1,0 +1,189 @@
+"""Parity tests for the sorted segment-sum / gather Pallas kernels
+(``ops/segment_sum_pallas``) and their dispatch through
+``ops/segment_ops`` — interpret mode on the CPU suite; the real Mosaic
+toolchain is re-qualified by ``tpu_smoke segment_sum``."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fluid_llm_tpu.ops import segment_ops as so
+from fluid_llm_tpu.ops import segment_sum_pallas as ssp
+
+
+def mesh_like_ids(rng, e, n):
+    """Sorted ids with mesh-like density (every chunk spans few rows)."""
+    return np.sort(rng.integers(0, n, size=e)).astype(np.int32)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("e,n,f", [(1024, 300, 128), (700, 129, 60), (512, 40, 130)])
+def test_scatter_matches_xla(dtype, e, n, f):
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(mesh_like_ids(rng, e, n))
+    vals = jnp.asarray(rng.normal(size=(e, f)), dtype)
+    got = ssp.segment_sum_flat(vals, ids, n, interpret=True)
+    ref = jax.ops.segment_sum(vals.astype(jnp.float32), ids, num_segments=n)
+    assert got.shape == (n, f) and got.dtype == dtype
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
+                               atol=5e-2 if dtype == jnp.bfloat16 else 1e-5,
+                               rtol=1e-2 if dtype == jnp.bfloat16 else 1e-6)
+
+
+@pytest.mark.parametrize("e,n,f", [(1024, 300, 128), (512, 129, 60)])
+def test_gather_matches_take(e, n, f):
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(mesh_like_ids(rng, e, n))
+    nodes = jnp.asarray(rng.normal(size=(n, f)), jnp.float32)
+    got = ssp.gather_flat(nodes, ids, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(nodes)[np.asarray(ids)],
+                               rtol=1e-6)
+
+
+def test_unsorted_ids_fall_back_and_match():
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(0, 50, size=512), jnp.int32)  # NOT sorted
+    vals = jnp.asarray(rng.normal(size=(512, 32)), jnp.float32)
+    got = ssp.segment_sum_flat(vals, ids, 50, interpret=True)
+    ref = jax.ops.segment_sum(vals, ids, num_segments=50)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+    got_g = ssp.gather_flat(vals, ids[:512], interpret=True)  # rows exist: n=512
+    ref_g = np.asarray(vals)[np.asarray(ids)]
+    np.testing.assert_allclose(np.asarray(got_g), ref_g, rtol=1e-6)
+
+
+def test_window_overflow_falls_back():
+    """Sorted ids whose chunk span exceeds WINDOW take the XLA branch."""
+    rng = np.random.default_rng(3)
+    n = 4096
+    ids = np.sort(rng.choice(n, size=ssp.CHUNK, replace=False)).astype(np.int32)
+    assert ids[-1] - ids[0] > ssp.WINDOW  # premise: a hub-sparse chunk
+    vals = jnp.asarray(rng.normal(size=(ssp.CHUNK, 16)), jnp.float32)
+    got = ssp.segment_sum_flat(vals, jnp.asarray(ids), n, interpret=True)
+    ref = jax.ops.segment_sum(vals, jnp.asarray(ids), num_segments=n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+
+def test_out_of_range_ids_dropped():
+    """ids == num_segments (ghost-beyond) contribute nothing, as XLA."""
+    ids = jnp.asarray(np.r_[np.repeat(np.arange(8), 32), np.full(256, 20)],
+                      jnp.int32)
+    vals = jnp.ones((512, 8), jnp.float32)
+    got = ssp.segment_sum_flat(vals, ids, 20, interpret=True)
+    ref = jax.ops.segment_sum(vals, ids, num_segments=20)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+    g2 = ssp.gather_flat(vals[:20], ids, interpret=True)
+    assert np.all(np.asarray(g2)[256:] == 0)  # zero rows, not clamp
+
+
+def test_public_api_batched_dispatch(monkeypatch):
+    """segment_sum_nodes/gather_nodes route (B, E) batches through the
+    kernel (interpret) and match the XLA twins; grads agree too."""
+    monkeypatch.setenv("FLUID_SEGSUM", "interpret")
+    rng = np.random.default_rng(4)
+    B, E, N, F = 3, 512, 200, 64
+    ids = jnp.asarray(np.stack([mesh_like_ids(rng, E, N) for _ in range(B)]))
+    vals = jnp.asarray(rng.normal(size=(B, E, F)), jnp.float32)
+    V = jnp.asarray(rng.normal(size=(B, N, F)), jnp.float32)
+
+    got = so.segment_sum_nodes(vals, ids, N)
+    ref = jax.vmap(lambda v, i: jax.ops.segment_sum(v, i, num_segments=N))(vals, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    gat = so.gather_nodes(V, ids)
+    refg = jnp.take_along_axis(V, ids[..., None], axis=-2)
+    np.testing.assert_allclose(np.asarray(gat), np.asarray(refg), rtol=1e-6)
+
+    def loss_k(v):
+        return (so.segment_sum_nodes(v, ids, N) ** 2).sum()
+
+    def loss_x(v):
+        return (ref_ss(v) ** 2).sum()
+
+    ref_ss = lambda v: jax.vmap(
+        lambda vv, i: jax.ops.segment_sum(vv, i, num_segments=N))(v, ids)
+    np.testing.assert_allclose(np.asarray(jax.grad(loss_k)(vals)),
+                               np.asarray(jax.grad(loss_x)(vals)),
+                               atol=1e-4, rtol=1e-4)
+
+    def gloss_k(v):
+        return (so.gather_nodes(v, ids) ** 3).sum()
+
+    def gloss_x(v):
+        return (jnp.take_along_axis(v, ids[..., None], axis=-2) ** 3).sum()
+
+    np.testing.assert_allclose(np.asarray(jax.grad(gloss_k)(V)),
+                               np.asarray(jax.grad(gloss_x)(V)),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_public_api_4d_values(monkeypatch):
+    """gatnet shape: values (B, E, H, C) with multi feature dims."""
+    monkeypatch.setenv("FLUID_SEGSUM", "interpret")
+    rng = np.random.default_rng(5)
+    B, E, N, H, C = 2, 384, 100, 4, 16
+    ids = jnp.asarray(np.stack([mesh_like_ids(rng, E, N) for _ in range(B)]))
+    vals = jnp.asarray(rng.normal(size=(B, E, H, C)), jnp.float32)
+    got = so.segment_sum_nodes(vals, ids, N)
+    ref = jax.vmap(lambda v, i: jax.ops.segment_sum(v, i, num_segments=N))(vals, ids)
+    assert got.shape == (B, N, H, C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_static_sorted_promise(monkeypatch):
+    """sorted=True calls the kernel with NO runtime cond (the hot-path
+    contract); sorted=False forces XLA; results identical on sorted ids."""
+    monkeypatch.setenv("FLUID_SEGSUM", "interpret")
+    rng = np.random.default_rng(7)
+    B, E, N, F = 2, 512, 150, 32
+    ids = jnp.asarray(np.stack([mesh_like_ids(rng, E, N) for _ in range(B)]))
+    vals = jnp.asarray(rng.normal(size=(B, E, F)), jnp.float32)
+    a = so.segment_sum_nodes(vals, ids, N, sorted=True)
+    b = so.segment_sum_nodes(vals, ids, N, sorted=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+    V = jnp.asarray(rng.normal(size=(B, N, F)), jnp.float32)
+    ga = so.gather_nodes(V, ids, sorted=True)
+    gb = so.gather_nodes(V, ids, sorted=False)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-6)
+    # grads ride the same static dispatch
+    da = jax.grad(lambda v: (so.segment_sum_nodes(v, ids, N, sorted=True) ** 2).sum())(vals)
+    db = jax.grad(lambda v: (so.segment_sum_nodes(v, ids, N, sorted=False) ** 2).sum())(vals)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(db), atol=1e-4, rtol=1e-4)
+
+
+def test_host_kernel_ok_mirrors_predicate():
+    rng = np.random.default_rng(8)
+    good = np.stack([mesh_like_ids(rng, 1024, 300) for _ in range(3)])
+    assert ssp.host_kernel_ok(good, 300)
+    bad_unsorted = good[:, ::-1]
+    assert not ssp.host_kernel_ok(bad_unsorted, 300)
+    sparse = np.sort(rng.choice(100_000, size=ssp.CHUNK, replace=False)).astype(np.int32)
+    assert not ssp.host_kernel_ok(sparse[None], 100_000)  # span overflow
+
+
+def test_collated_batches_satisfy_contract():
+    """The real pipeline (synthetic graphs -> collate) honours the
+    sorted/window contract the models statically promise."""
+    from fluid_llm_tpu.data.eagle_mesh import collate_graphs, static_bucket_sizes
+    from fluid_llm_tpu.data.synthetic import SyntheticGraphDataset
+
+    ds = SyntheticGraphDataset(n_trajectories=4, mesh_nodes=(24, 10),
+                               mode="train", window_length=2)
+    n_max, e_max, c_max, k_max = static_bucket_sizes(ds)
+    batch = collate_graphs([ds[j] for j in range(4)], n_max, e_max, c_max,
+                           1, k_max=k_max)
+    assert ssp.host_kernel_ok(batch["edges"][..., 0],
+                              batch["mesh_pos"].shape[-2])
+
+
+def test_faces_to_edges_sorted():
+    from fluid_llm_tpu.data.eagle_mesh import faces_to_edges
+
+    rng = np.random.default_rng(6)
+    faces = rng.integers(0, 50, size=(80, 3))
+    edges = faces_to_edges(faces)
+    assert np.all(np.diff(edges[:, 0]) >= 0)  # aggregation column sorted
+    # set parity with the unsorted construction (same undirected edge set)
+    s = {tuple(e) for e in edges.tolist()}
+    assert all((b, a) in s for a, b in s)
