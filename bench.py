@@ -305,9 +305,13 @@ def setup_compile_effort(default: str | None = "-0.3"):
             print(f"compile-effort knob unavailable: {e}", file=sys.stderr)
 
 
-def run_smoke():
+def run_smoke() -> bool:
     """On-chip kernel parity, recorded as an artifact every benched round
-    (the bench process already owns the TPU session)."""
+    (the bench process already owns the TPU session).
+
+    Returns True only if EVERY row is ok — callers must fail LOUDLY on a
+    red row (nonzero exit): a red gate riding a green headline is how the
+    r4 segment-sum regression shipped (VERDICT r4 weak #1/#3)."""
     import contextlib
 
     try:
@@ -318,8 +322,10 @@ def run_smoke():
         with open("TPU_SMOKE.json", "w") as f:
             json.dump(results, f, indent=1)
         print(f"tpu_smoke: {results}", file=sys.stderr)
-    except Exception as e:  # never block the bench record
+        return all(v == "ok" for k, v in results.items() if k != "backend")
+    except Exception as e:  # an errored smoke is as red as a failed row
         print(f"tpu_smoke errored: {e}", file=sys.stderr)
+        return False
 
 
 def main():
@@ -420,8 +426,7 @@ if __name__ == "__main__":
         bench_streaming()
         sys.exit(0)
     if len(sys.argv) > 1 and sys.argv[1] == "smoke":
-        run_smoke()
-        sys.exit(0)
+        sys.exit(0 if run_smoke() else 3)
     try:
         main()
     except Exception as e:  # emit a valid record even on failure
@@ -434,11 +439,17 @@ if __name__ == "__main__":
         }))
         raise
     # the serving-mode record and the on-chip kernel-parity artifact ride the
-    # same bench session (VERDICT r2 next-items 2 and 9); failures there must
-    # not invalidate the headline record already printed
+    # same bench session (VERDICT r2 next-items 2 and 9).  A streaming-bench
+    # exception must not invalidate the headline record already printed, but
+    # a RED SMOKE ROW must be loud: exit nonzero so the round artifact
+    # (BENCH_r*.json rc) flags it — the qualification contract is only as
+    # strong as its enforcement (VERDICT r4 weak #3).
     if os.environ.get("FLUID_BENCH_EXTRAS", "1") != "0":
         try:
             bench_streaming()
         except Exception as e:
             print(f"streaming bench failed: {e}", file=sys.stderr)
-        run_smoke()
+        if not run_smoke():
+            print("SMOKE FAILED: red kernel-parity row (see TPU_SMOKE.json)",
+                  file=sys.stderr)
+            sys.exit(3)

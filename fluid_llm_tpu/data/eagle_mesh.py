@@ -376,6 +376,7 @@ def collate_graphs(
             cl[cl == -1] = n_max
             out["cluster"][b, :, :C, :K] = cl
             out["cluster_mask"][b, :, :C, :K] = cm
+    _check_sorted_contract(out)
     return out
 
 
@@ -390,19 +391,23 @@ def iterate_graph_batches(
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
-    guard = _sorted_contract_guard()
     for i in range(0, len(order), batch_size):
         samples = [dataset[int(j)] for j in order[i:i + batch_size]]
-        batch = collate_graphs(samples, n_max, e_max, c_max, ghost_type_value, k_max=k_max)
-        guard(batch)
-        yield batch
+        # the sorted-contract guard runs inside collate_graphs
+        yield collate_graphs(samples, n_max, e_max, c_max, ghost_type_value, k_max=k_max)
 
 
-def _sorted_contract_guard():
+def _check_sorted_contract(batch: dict) -> None:
     """Per-batch host check of the static ``sorted=True`` promise the
-    models make for ``edges[..., 0]`` (``ops/segment_ops``).  Active only
-    when the Pallas segment kernels will actually engage; raises loudly
-    instead of letting the kernel silently drop out-of-window edges."""
+    models make for ``edges[..., 0]`` (``ops/segment_ops``).  Runs inside
+    ``collate_graphs`` so EVERY collate call site is covered — including
+    the horizon-eval path that batches samples directly
+    (``baselines_cli.py``), not just ``iterate_graph_batches``
+    (ADVICE r4).  Gated on the SAME mode + size predicate
+    ``segment_ops`` applies (``use_kernel``): when the kernel would route
+    to XLA anyway (too few edges, stripe over VMEM budget, kernels off,
+    non-TPU backend in auto mode) the guard is silent instead of
+    crashing loads that would run correctly."""
     import jax
 
     from fluid_llm_tpu.ops import segment_sum_pallas as ssp
@@ -410,18 +415,21 @@ def _sorted_contract_guard():
     if ssp.mode() == "xla" or (
         ssp.mode() == "auto" and jax.default_backend() != "tpu"
     ):
-        return lambda batch: None
-
-    def check(batch):
-        col0 = batch["edges"][..., 0]
-        n_per = batch["mesh_pos"].shape[-2]
-        if not ssp.host_kernel_ok(col0, n_per):
-            raise ValueError(
-                "edges[..., 0] violates the sorted/window contract the "
-                "segment-sum kernels rely on (custom dataset with "
-                "unsorted edge lists or extreme degree skew?).  Sort "
-                "edges by column 0 per graph (see faces_to_edges) or set "
-                "FLUID_SEGSUM=xla to disable the kernels."
-            )
-
-    return check
+        return
+    col0 = batch["edges"][..., 0]
+    n_per = batch["mesh_pos"].shape[-2]
+    # models call the segment ops per time step with (B, E) ids, so the
+    # engage predicate is evaluated at THAT flattened size (Ep is a CHUNK
+    # multiple, so chunk spans are identical under either flattening)
+    b = col0.shape[0]
+    use, _ = ssp.use_kernel(b * n_per, b * col0.shape[-1])
+    if not use:
+        return
+    if not ssp.host_kernel_ok(col0, n_per):
+        raise ValueError(
+            "edges[..., 0] violates the sorted/window contract the "
+            "segment-sum kernels rely on (custom dataset with "
+            "unsorted edge lists or extreme degree skew?).  Sort "
+            "edges by column 0 per graph (see faces_to_edges) or set "
+            "FLUID_SEGSUM=xla to disable the kernels."
+        )

@@ -31,7 +31,11 @@ def _t(x) -> np.ndarray:
 
 
 def convert_state_dict(sd: dict, cfg: BackboneConfig) -> tuple[Params, np.ndarray]:
-    """torch state dict -> (backbone params, token embedding table)."""
+    """torch state dict -> (backbone params, token embedding table).
+
+    The token table is None when absent from ``sd`` — dicts produced by
+    ``tools.reference_ckpt.export_state_dict`` omit the frozen HF embed
+    tables our tree never carries (``load_pretrained`` always has them)."""
     if cfg.family == "opt":
         return _convert_opt(sd, cfg)
     if cfg.family == "gpt2":
@@ -88,8 +92,8 @@ def _convert_opt(sd: dict, cfg: BackboneConfig) -> tuple[Params, np.ndarray]:
     if f"{p}project_in.weight" in sd:
         params["project_in"] = {"w": _t(sd[p + "project_in.weight"]).T}
         params["project_out"] = {"w": _t(sd[p + "project_out.weight"]).T}
-    embed_tokens = _t(sd[p + "embed_tokens.weight"])
-    return params, embed_tokens
+    key = p + "embed_tokens.weight"
+    return params, (_t(sd[key]) if key in sd else None)
 
 
 def _convert_gpt2(sd: dict, cfg: BackboneConfig) -> tuple[Params, np.ndarray]:
@@ -128,7 +132,7 @@ def _convert_gpt2(sd: dict, cfg: BackboneConfig) -> tuple[Params, np.ndarray]:
         "final_norm": ln("ln_f"),
         "pos_embed": _t(sd["wpe.weight"]),
     }
-    return params, _t(sd["wte.weight"])
+    return params, (_t(sd["wte.weight"]) if "wte.weight" in sd else None)
 
 
 def _convert_llama(sd: dict, cfg: BackboneConfig) -> tuple[Params, np.ndarray]:
@@ -158,7 +162,8 @@ def _convert_llama(sd: dict, cfg: BackboneConfig) -> tuple[Params, np.ndarray]:
             }
         )
     params: Params = {"layers": layers, "final_norm": {"scale": _t(sd["norm.weight"])}}
-    return params, _t(sd["embed_tokens.weight"])
+    return params, (_t(sd["embed_tokens.weight"])
+                    if "embed_tokens.weight" in sd else None)
 
 
 def load_pretrained(
@@ -185,6 +190,7 @@ def load_pretrained(
     except Exception:
         return None
     params, embed_tokens = convert_state_dict(model.state_dict(), cfg)
+    assert embed_tokens is not None  # a real HF model always carries it
     return params, embed_tokens, cfg
 
 

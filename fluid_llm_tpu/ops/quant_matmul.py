@@ -220,17 +220,26 @@ def int8_matmul(x, q, scale, interpret: bool = False, mode: str = "w8a8"):
 
 
 def _fwd(x, q, scale, interpret, mode):
-    return _impl(x, q, scale, interpret, mode), (q, scale)
+    return _impl(x, q, scale, interpret, mode), (x, q, scale)
 
 
 def _bwd(interpret, mode, res, g):
     del interpret, mode
-    q, scale = res
+    x, q, scale = res
     # g.dtype == x.dtype (the forward output is cast to the activation
     # dtype); w8a8's activation quantisation is straight-through here
     w = (q.astype(jnp.float32) * scale[None, :].astype(jnp.float32)).astype(g.dtype)
     dx = g @ w.T
-    return dx, np.zeros(q.shape, jax.dtypes.float0), jnp.zeros_like(scale)
+    # True d/dscale (ADVICE r4: the old jnp.zeros_like(scale) cotangent is
+    # mathematically WRONG, not just undefined, if scale is ever trained
+    # QLoRA-style): out[m,n] = (x @ q)[m,n] * scale[n], so
+    # dscale[n] = sum_m g[m,n] * (x @ q.f32)[m,n].  Under the supported
+    # frozen-quantized-backbone regime scale receives no cotangent and
+    # jax/XLA DCE prunes this matmul AND the x residual entirely.
+    xq = x.astype(jnp.float32) @ q.astype(jnp.float32)  # (..., N)
+    dscale = jnp.sum(g.astype(jnp.float32) * xq,
+                     axis=tuple(range(g.ndim - 1))).astype(scale.dtype)
+    return dx, np.zeros(q.shape, jax.dtypes.float0), dscale
 
 
 int8_matmul.defvjp(_fwd, _bwd)

@@ -56,10 +56,11 @@ _VMEM_ROWS_MAX = 20480  # resident stripe budget: rows * 128 * 4 B ≤ ~10 MB
 # Precision.HIGH outright.  The right decomposition is manual: the
 # one-hot operand is EXACTLY representable in bf16, so only the values
 # need splitting into bf16 limbs — K passes recover ~8K mantissa bits.
-# K=2 (default) ≈ 1e-5 rel err at ~2x the 1-pass cost; K=3 is
-# f32-exact (matches HIGHEST, ~4.7x cheaper).  Override with
-# FLUID_SEGSUM_PASSES=1|2|3.
-_PASSES = int(os.environ.get("FLUID_SEGSUM_PASSES", "2"))
+# K=3 (default) is f32-exact (3x8=24 bits covers the f32 mantissa;
+# matches HIGHEST at ~4.7x cheaper, and passes the 1e-5/1e-6 unit and
+# smoke gates).  K=2 ≈ 1e-5 rel err at ~2/3 the cost — fails the repo's
+# own gates, opt-in only.  Override with FLUID_SEGSUM_PASSES=1|2|3.
+_PASSES = int(os.environ.get("FLUID_SEGSUM_PASSES", "3"))
 
 
 def _onehot_dot(oh, vals, dimension_numbers):
@@ -200,10 +201,18 @@ def host_kernel_ok(ids: np.ndarray, n_per_batch: int) -> bool:
 
 
 def _flatten(idx, n_per_batch: int):
-    """idx (..., E) -> globally-offset flat int32 ids (B*E,), B."""
+    """idx (..., E) -> globally-offset flat int32 ids (B*E,), B.
+
+    Per-batch out-of-range ids (e.g. ``id == n_per_batch``) are mapped to
+    a NEGATIVE sentinel instead of offset — a raw offset would alias them
+    into the NEXT batch element's segment 0 on the kernel path while the
+    vmapped XLA twin drops them (ADVICE r4).  Negative ids are dropped /
+    zero-row'd identically by both branches."""
     b = int(np.prod(idx.shape[:-1])) if idx.ndim > 1 else 1
+    idx2 = idx.reshape(b, -1).astype(jnp.int32)
     off = (jnp.arange(b, dtype=jnp.int32) * n_per_batch)[:, None]
-    return (idx.reshape(b, -1).astype(jnp.int32) + off).reshape(-1), b
+    ok = (idx2 >= 0) & (idx2 < n_per_batch)
+    return jnp.where(ok, idx2 + off, jnp.int32(-(2**30))).reshape(-1), b
 
 
 def _prep_ids(ids_flat):

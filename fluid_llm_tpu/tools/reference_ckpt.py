@@ -290,14 +290,19 @@ def import_state_dict(model, sd: dict) -> Params:
     return params
 
 
-def export_state_dict(model, params: Params) -> dict:
+def export_state_dict(model, params: Params, embed_tokens=None) -> dict:
     """Our param pytree -> a reference-named torch ``state_dict`` (the exact
     inverse of :func:`import_state_dict`; peft layout when ``lora`` present).
 
-    Token/position embedding tables our tree does not carry (the reference's
-    frozen HF leaves that the fluid model never trains) are emitted as the
-    right-named zero tensors so the dict loads into a reference model with
-    ``strict=False`` — or round-trips through :func:`import_state_dict`.
+    The frozen HF token table our tree does not carry is OMITTED unless
+    passed as ``embed_tokens`` ((vocab, d), e.g. from
+    ``hf_import.load_pretrained``).  The reference's own entry points load
+    with ``strict=True`` (``continue_train.py:25``, ``inference.py:179``),
+    which needs every key: pass ``embed_tokens`` for that, or load the
+    dict reference-side with ``strict=False`` over a freshly-built model
+    (whose ``from_pretrained`` backbone already holds the frozen table —
+    missing keys are then exactly the never-trained leaves).  Round-trips
+    through :func:`import_state_dict` either way.
     """
     cfg = model.cfg
     bb_cfg = model.backbone_cfg
@@ -305,7 +310,7 @@ def export_state_dict(model, params: Params) -> dict:
 
     lora_layers = params.get("lora", {}).get("layers")
     targets = tuple(cfg.lora_config.target_modules) if lora_layers is not None else ()
-    for k, v in _export_backbone(params["backbone"], bb_cfg).items():
+    for k, v in _export_backbone(params["backbone"], bb_cfg, embed_tokens).items():
         if lora_layers is not None:
             tgt = _peft_wrapped_name(k, targets)
             if tgt is not None:
@@ -382,14 +387,20 @@ def _peft_wrapped_name(k: str, targets: tuple) -> Optional[str]:
     return f"{m.group(1)}.base_layer.{m.group(3)}"
 
 
-def _export_backbone(bb: Params, cfg) -> dict:
+def _export_backbone(bb: Params, cfg, embed_tokens=None) -> dict:
     """Our backbone pytree -> HF-named torch tensors (inverse of
-    ``hf_import._convert_{opt,gpt2,llama}``)."""
+    ``hf_import._convert_{opt,gpt2,llama}``).
+
+    ``embed_tokens``: the frozen HF token table ((vocab, d), e.g. from
+    ``hf_import.load_pretrained``) — emitted under its HF name when given
+    so the dict satisfies a reference-side strict load; when None the key
+    is OMITTED (our tree never carries it).  r4 shipped (4, d) zero
+    placeholders here, which torch ``load_state_dict`` rejects on size
+    mismatch REGARDLESS of ``strict`` (ADVICE r4)."""
     from fluid_llm_tpu.models.backbone import unstack_layers
 
     bb = unstack_layers(bb)
     out: dict = {}
-    d = int(np.asarray(bb["layers"][0]["attn"]["q"]["w"]).shape[0]) if bb["layers"] else 0
 
     def lin(name, leaf, transpose=True):
         w = np.asarray(leaf["w"], dtype=np.float32)
@@ -420,9 +431,9 @@ def _export_backbone(bb: Params, cfg) -> dict:
         if "project_in" in bb:
             lin(p + "project_in", bb["project_in"])
             lin(p + "project_out", bb["project_out"])
-        # frozen HF leaves the fluid model neither trains nor stores
-        d_embed = cfg.d_embed or cfg.d_model
-        out[p + "embed_tokens.weight"] = _tt(np.zeros((4, d_embed), np.float32))
+        # frozen HF leaf the fluid model neither trains nor stores
+        if embed_tokens is not None:
+            out[p + "embed_tokens.weight"] = _tt(embed_tokens)
     elif cfg.family == "gpt2":
         for i, L in enumerate(bb["layers"]):
             base = f"h.{i}."
@@ -441,7 +452,8 @@ def _export_backbone(bb: Params, cfg) -> dict:
             lin(base + "mlp.c_proj", L["mlp"]["fc2"], transpose=False)
         ln("ln_f", bb["final_norm"])
         out["wpe.weight"] = _tt(bb["pos_embed"])
-        out["wte.weight"] = _tt(np.zeros((4, d), np.float32))
+        if embed_tokens is not None:
+            out["wte.weight"] = _tt(embed_tokens)
     elif cfg.family == "llama":
         for i, L in enumerate(bb["layers"]):
             base = f"layers.{i}."
@@ -455,7 +467,8 @@ def _export_backbone(bb: Params, cfg) -> dict:
             lin(base + "mlp.up_proj", L["mlp"]["up"])
             lin(base + "mlp.down_proj", L["mlp"]["down"])
         ln("norm", bb["final_norm"])
-        out["embed_tokens.weight"] = _tt(np.zeros((4, d), np.float32))
+        if embed_tokens is not None:
+            out["embed_tokens.weight"] = _tt(embed_tokens)
     else:
         raise ValueError(cfg.family)
     return out

@@ -138,7 +138,12 @@ class RolloutEngine:
                     self.model, p, batch, _b, start_state=_c
                 )
             )
-            self._rollouts[key] = prog
+            # insert under the (cheap) stats lock so stats() can snapshot
+            # the dict without racing a resize (ADVICE r4) and without
+            # waiting on the device lock; jit() above is lazy — the actual
+            # compile happens on first call, not here
+            with self._stats_lock:
+                prog = self._rollouts.setdefault(key, prog)
         return prog
 
     # -- batch construction ---------------------------------------------
@@ -348,12 +353,15 @@ class RolloutEngine:
             c = dict(self._counters)
             lat = sorted(self._lat_ms)
             by_prog = dict(self._by_program)
+            # snapshot: a concurrent first request compiling a new
+            # (bucket, ctx) program mutates the dict mid-iteration
+            prog_keys = list(self._rollouts)
         out = {
             **c,
             "device_ms_total": round(c["device_ms_total"], 1),
             "by_program": by_prog,
             "compiled_programs": sorted(
-                f"bucket={b} ctx={x}" for b, x in self._rollouts
+                f"bucket={b} ctx={x}" for b, x in prog_keys
             ),
         }
         if lat:

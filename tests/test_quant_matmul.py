@@ -75,6 +75,28 @@ def test_w8a8_activation_quant_exact_on_integer_grids():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
 
 
+def test_scale_grad_is_true_derivative():
+    """d/dscale is the real derivative of out = (x @ q) * scale, not the
+    zero cotangent r4 shipped (ADVICE r4: wrong if scale is ever trained
+    QLoRA-style).  Checked against jax.grad of the explicit dequant form
+    in w8a16 mode (exact weight dequant — no activation quantization)."""
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.normal(size=(256, 128)), jnp.float32) * 0.05
+    qp = quantize_weight(w)
+    x = jnp.asarray(rng.normal(size=(8, 256)), jnp.float32)
+
+    def f_kernel(s):
+        return (int8_matmul(x, qp["q"], s, True, "w8a16").astype(jnp.float32) ** 2).sum()
+
+    def f_explicit(s):
+        return (((x @ qp["q"].astype(jnp.float32)) * s[None, :]) ** 2).sum()
+
+    g_k = jax.grad(f_kernel)(qp["scale"])
+    g_e = jax.grad(f_explicit)(qp["scale"])
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_e),
+                               atol=1e-3, rtol=1e-3)
+
+
 def test_grad_matches_dequant_twin():
     rng = np.random.default_rng(2)
     w = jnp.asarray(rng.normal(size=(256, 128)), jnp.float32) * 0.05

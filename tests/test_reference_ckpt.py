@@ -142,6 +142,28 @@ def test_full_payload_file_roundtrip(tmp_path):
     _assert_trees_equal(got, jax.device_get(params))
 
 
+def test_export_embed_table_handling():
+    """The frozen HF token table is OMITTED by default (r4 shipped (4, d)
+    zero placeholders, which torch rejects on size mismatch regardless of
+    ``strict`` — ADVICE r4) and emitted verbatim when passed in."""
+    cfg, ds, props, model, batch = tiny_setup(llm_backbone="facebook/opt-125m")
+    params = model.init(jax.random.PRNGKey(7))
+
+    sd = export_state_dict(model, params)
+    embed_keys = [k for k in sd if "embed_tokens" in k or k.endswith("wte.weight")]
+    assert embed_keys == []  # omitted, not mis-shaped placeholders
+
+    vocab_d = (50272, model.backbone_cfg.d_embed or model.backbone_cfg.d_model)
+    table = np.random.default_rng(0).normal(size=vocab_d).astype(np.float32)
+    sd2 = export_state_dict(model, params, embed_tokens=table)
+    key = "backbone.decoder.embed_tokens.weight"
+    assert tuple(sd2[key].shape) == vocab_d  # strict-load-ready shape
+    np.testing.assert_array_equal(np.asarray(sd2[key]), table)
+    # the extra frozen leaf must not break the import roundtrip
+    got = import_state_dict(model, _torch_roundtrip(sd2))
+    _assert_trees_equal(got, jax.device_get(params))
+
+
 def test_imported_params_run_forward():
     """Imported trees must be directly consumable by the model forward."""
     cfg, ds, props, model, batch = tiny_setup()

@@ -152,6 +152,28 @@ def test_static_sorted_promise(monkeypatch):
     np.testing.assert_allclose(np.asarray(da), np.asarray(db), atol=1e-4, rtol=1e-4)
 
 
+def test_per_batch_out_of_range_ids_dropped(monkeypatch):
+    """A per-batch id == num_nodes must be DROPPED on the kernel path, not
+    aliased into the next batch element's segment 0 by the flatten offset
+    (ADVICE r4); both dispatch branches agree with the vmapped XLA twin."""
+    monkeypatch.setenv("FLUID_SEGSUM", "interpret")
+    rng = np.random.default_rng(9)
+    B, E, N, F = 2, 512, 100, 32
+    ids_np = np.stack([mesh_like_ids(rng, E, N) for _ in range(B)])
+    ids_np[:, -5:] = N  # out of range per batch (== num_nodes)
+    ids = jnp.asarray(ids_np)
+    vals = jnp.asarray(rng.normal(size=(B, E, F)), jnp.float32)
+    ref = jax.vmap(lambda v, i: jax.ops.segment_sum(v, i, num_segments=N))(vals, ids)
+    for s in (True, "auto"):
+        got = so.segment_sum_nodes(vals, ids, N, sorted=s)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+    # gather: out-of-range -> zero rows on every path
+    V = jnp.asarray(rng.normal(size=(B, N, F)), jnp.float32)
+    g = so.gather_nodes(V, ids, sorted=True)
+    assert np.all(np.asarray(g)[:, -5:] == 0)
+
+
 def test_host_kernel_ok_mirrors_predicate():
     rng = np.random.default_rng(8)
     good = np.stack([mesh_like_ids(rng, 1024, 300) for _ in range(3)])
