@@ -56,7 +56,22 @@ logger = logging.getLogger("fluid_llm_tpu.baselines")
 
 
 def _to_device(batch):
-    return {k: jnp.asarray(v) for k, v in batch.items()}
+    # "_"-prefixed keys are host-side static kernel-dispatch flags
+    return {k: v if k.startswith("_") else jnp.asarray(v)
+            for k, v in batch.items()}
+
+
+def _pop_flags(batch) -> tuple[int, int]:
+    """(rev_window, cluster_window) static Pallas dispatch flags the
+    collate attached (``data/eagle_mesh.collate_graphs``)."""
+    return (batch.pop("_rev_window", 0), batch.pop("_cluster_window", 0))
+
+
+def _bind_flags(apply_fn, stateful: bool, flags: tuple[int, int]):
+    if stateful:  # mgn/gat have no cluster ops
+        return functools.partial(apply_fn, rev_window=flags[0])
+    return functools.partial(apply_fn, rev_window=flags[0],
+                             cluster_window=flags[1])
 
 
 def _prefetch_device(batch_iter, depth: int = 2):
@@ -205,7 +220,7 @@ def run_graph_model(args):
         apply_fn, loss_fn, stateful = graphvit_apply, functools.partial(graphvit_loss, alpha=args.alpha), False
         ghost = 2
 
-    step = make_graph_step(args, apply_fn, loss_fn, stateful)
+    steps: dict[tuple[int, int], object] = {}  # jitted step per static flags
     opt_state = optax.scale_by_adam().init(params)
 
     save_dir = os.path.join(args.save_dir, args.model)
@@ -225,8 +240,12 @@ def run_graph_model(args):
                 float(loss)  # drain compile + warmup before the capture
                 jax.profiler.start_trace(args.profile_dir)
                 prof_on = True
+            flags = _pop_flags(dev_batch)
+            if flags not in steps:
+                steps[flags] = make_graph_step(
+                    args, _bind_flags(apply_fn, stateful, flags), loss_fn, stateful)
             rng, sk = jax.random.split(rng)
-            params, norm, opt_state, loss = step(
+            params, norm, opt_state, loss = steps[flags](
                 params, norm, opt_state, dev_batch, sk, jnp.float32(lr)
             )
             n_steps += 1
@@ -262,13 +281,14 @@ def validate_graph(args, params, norm, ds, apply_fn, loss_fn, stateful, ghost):
         iterate_graph_batches(ds, args.batch_size, shuffle=False, ghost_type_value=ghost),
         depth=args.prefetch,
     ):
+        fn = _bind_flags(apply_fn, stateful, _pop_flags(b))
         if stateful:
-            sh, oh, tgt, _ = apply_fn(
+            sh, oh, tgt, _ = fn(
                 params, norm, b["mesh_pos"], b["edges"].astype(jnp.int32),
                 b["state"], b["node_type"], train=False,
             )
         else:
-            sh, oh, tgt = apply_fn(
+            sh, oh, tgt = fn(
                 params, b["mesh_pos"], b["edges"].astype(jnp.int32),
                 b["state"], b["node_type"], b["cluster"], b["cluster_mask"],
             )
@@ -280,23 +300,26 @@ def validate_graph(args, params, norm, ds, apply_fn, loss_fn, stateful, ghost):
 def eval_graph(args, params, norm, apply_fn, stateful, ghost):
     """Long-window rollout + mesh->grid N-RMSE + per-step RMSE CSV
     (``eval_mgn.py:29-68``, ``eval_graphvit.py:77-149``)."""
+    from fluid_llm_tpu.data.reorder import reorder_sample
+
     ds = build_dataset(args, "test", args.horizon_eval)
     rows = []
     for i in range(len(ds)):
-        sample = ds[i]
+        sample = reorder_sample(ds[i])
         batch = _to_device(
             collate_graphs(
                 [sample], sample.mesh_pos.shape[1], sample.edges.shape[0],
                 (sample.cluster.shape[1] if sample.cluster is not None else 1), ghost,
             )
         )
+        fn = _bind_flags(apply_fn, stateful, _pop_flags(batch))
         if stateful:
-            sh, _, _, _ = apply_fn(
+            sh, _, _, _ = fn(
                 params, norm, batch["mesh_pos"], batch["edges"].astype(jnp.int32),
                 batch["state"], batch["node_type"], train=False,
             )
         else:
-            sh, _, _ = apply_fn(
+            sh, _, _ = fn(
                 params, batch["mesh_pos"], batch["edges"].astype(jnp.int32),
                 batch["state"], batch["node_type"], batch["cluster"], batch["cluster_mask"],
             )

@@ -337,6 +337,13 @@ def collate_graphs(
     marks them INPUT+WALL so BC forcing pins them; the GraphViT collate's
     all-twos leaves them to the loss mask), ghost edges self-loop on the
     ghost slot, cluster ids -1 -> ghost slot with mask 0.
+
+    Besides the arrays, the dict carries two STATIC kernel-dispatch flags
+    (plain ints, keys prefixed ``_`` — pop them before jit):
+    ``_rev_window`` / ``_cluster_window`` — the smallest Pallas window size
+    the batch's ``edges[..., 1]`` / cluster-member id streams satisfy
+    (0 = no window fits, use XLA).  ``data/reorder.reorder_sample`` is what
+    makes them nonzero on real meshes.
     """
     B = len(samples)
     T = samples[0].state.shape[0]
@@ -347,19 +354,24 @@ def collate_graphs(
     # slots are ordinary ghost self-loops like the +1 the reference pads.
     Np, Ep = n_max + 1, -(-(e_max + 1) // 256) * 256
 
+    if k_max is None:
+        k_max = max((s.cluster.shape[-1] if s.cluster is not None else 1) for s in samples)
+    has_cluster = any(s.cluster is not None for s in samples)
+    if has_cluster:
+        # align the flattened member table (C*K per element) to the kernel
+        # chunk so chunks never straddle batch elements (span explosion)
+        step = 256 // np.gcd(k_max, 256)
+        c_max = -(-c_max // step) * step
+
     out = {
         "mesh_pos": np.zeros((B, T, Np, 2), np.float32),
         "edges": np.full((B, T, Ep, 2), n_max, np.int32),
         "state": np.zeros((B, T, Np, S), np.float32),
         "node_type": np.full((B, T, Np, 9), ghost_type_value, np.int32),
         "mask": np.zeros((B, T, Np), np.float32),
-        "cluster": np.full((B, T, c_max, 1), n_max, np.int64),
-        "cluster_mask": np.zeros((B, T, c_max, 1), np.float32),
+        "cluster": np.full((B, T, c_max, k_max), n_max, np.int64),
+        "cluster_mask": np.zeros((B, T, c_max, k_max), np.float32),
     }
-    if k_max is None:
-        k_max = max((s.cluster.shape[-1] if s.cluster is not None else 1) for s in samples)
-    out["cluster"] = np.full((B, T, c_max, k_max), n_max, np.int64)
-    out["cluster_mask"] = np.zeros((B, T, c_max, k_max), np.float32)
 
     for b, s in enumerate(samples):
         N = s.mesh_pos.shape[1]
@@ -369,6 +381,14 @@ def collate_graphs(
         out["node_type"][b, :, :N] = s.node_type
         out["edges"][b, :, :E] = s.edges[None]
         out["mask"][b, :, :N] = 1.0
+        # the chunk mixing real and ghost edges gets its ghosts' RECEIVER
+        # column moved next to the chunk's real receivers, keeping the
+        # column-1 span window-local.  Ghost edges still send to the ghost
+        # slot (column 0 = n_max), so nothing they carry reaches a real
+        # node — real outputs are bit-identical under either ghost id.
+        if 0 < E < Ep and E % 256 != 0:
+            lo = (E // 256) * 256
+            out["edges"][b, :, E:lo + 256, 1] = int(s.edges[lo:E, 1].min())
         if s.cluster is not None:
             C, K = s.cluster.shape[1:]
             cl = s.cluster.copy()
@@ -377,28 +397,59 @@ def collate_graphs(
             out["cluster"][b, :, :C, :K] = cl
             out["cluster_mask"][b, :, :C, :K] = cm
     _check_sorted_contract(out)
+    out["_rev_window"], out["_cluster_window"] = _window_flags(out, has_cluster)
     return out
+
+
+def _window_flags(batch: dict, has_cluster: bool) -> tuple[int, int]:
+    """Smallest Pallas window each unsorted hot-id stream satisfies for
+    EVERY time step of this batch (0 = none; the models then keep XLA).
+    Mirrors exactly the ids the models hand to ``ops/segment_ops``."""
+    from fluid_llm_tpu.ops import segment_sum_pallas as ssp
+
+    n_per = batch["mesh_pos"].shape[-2]
+    col1 = batch["edges"][:, 0, :, 1]  # topology is t-invariant per window
+    rev = ssp.min_window(col1, n_per)
+
+    cluster = 0
+    if has_cluster:
+        cl = batch["cluster"]
+        cm = batch["cluster_mask"] > 0
+        B, T = cl.shape[:2]
+        ids = np.where(cm, cl, n_per).reshape(B, T, -1)  # ghosts out of range
+        ws = {ssp.min_window(ids[:, t], n_per) for t in range(T)}
+        cluster = 0 if 0 in ws else max(ws)
+    return rev, cluster
 
 
 def iterate_graph_batches(
     dataset, batch_size: int, *, shuffle: bool, seed: int = 0,
-    ghost_type_value: int = 1,
+    ghost_type_value: int = 1, reorder: bool = True,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Batch iterator with TRUE dataset-wide bucket sizes: every batch of
     every epoch has identical shapes, so the train step compiles exactly
-    once (sizes come from ``static_bucket_sizes``, disk-cached)."""
+    once (sizes come from ``static_bucket_sizes``, disk-cached).
+
+    ``reorder=True`` applies the locality-preserving static node
+    relabeling (``data/reorder.reorder_sample``, cached per topology) so
+    the collate's ``_rev_window`` / ``_cluster_window`` kernel-dispatch
+    flags come out nonzero on real meshes."""
     n_max, e_max, c_max, k_max = static_bucket_sizes(dataset)
+    if reorder:
+        from fluid_llm_tpu.data.reorder import reorder_sample
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
     for i in range(0, len(order), batch_size):
         samples = [dataset[int(j)] for j in order[i:i + batch_size]]
-        # the sorted-contract guard runs inside collate_graphs
+        if reorder:
+            samples = [reorder_sample(s) for s in samples]
+        # the window-contract guard runs inside collate_graphs
         yield collate_graphs(samples, n_max, e_max, c_max, ghost_type_value, k_max=k_max)
 
 
 def _check_sorted_contract(batch: dict) -> None:
-    """Per-batch host check of the static ``sorted=True`` promise the
+    """Per-batch host check of the static ``windowed=True`` promise the
     models make for ``edges[..., 0]`` (``ops/segment_ops``).  Runs inside
     ``collate_graphs`` so EVERY collate call site is covered — including
     the horizon-eval path that batches samples directly

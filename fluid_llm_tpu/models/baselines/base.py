@@ -85,14 +85,20 @@ def gnn_init(key, n_hidden=2, node_size=128, edge_size=128, output_size=None, la
     }
 
 
-def gnn_apply(p: Params, V, E, edges):
-    """``Base.py:36-49``.  V: (B, N, Fv); E: (B, Ne, Fe); edges: (B, Ne, 2)."""
+def gnn_apply(p: Params, V, E, edges, rev_window: int = 0):
+    """``Base.py:36-49``.  V: (B, N, Fv); E: (B, Ne, Fe); edges: (B, Ne, 2).
+
+    ``rev_window`` (static): >0 promises ``edges[..., 1]`` is window-local
+    at that band width (collate-verified RCM/grid node order,
+    ``data/reorder.py``) so the reverse gather + its backward scatter ride
+    the Pallas MXU kernels too; 0 keeps them on XLA."""
     # edges[..., 0] is dataloader-sorted (faces_to_edges) -> static
-    # sorted=True engages the Pallas MXU kernels; edges[..., 1] is not
-    senders = gather_nodes(V, edges[..., 0], sorted=True)
-    receivers = gather_nodes(V, edges[..., 1], sorted=False)
+    # windowed=True engages the Pallas MXU kernels
+    senders = gather_nodes(V, edges[..., 0], windowed=True)
+    receivers = gather_nodes(V, edges[..., 1],
+                             windowed=(rev_window > 0), window=rev_window or 512)
     edge_emb = mlp_apply(p["f_edge"], jnp.concatenate([senders, receivers, E], axis=-1))
-    edge_sum = segment_sum_nodes(edge_emb, edges[..., 0], V.shape[-2], sorted=True)
+    edge_sum = segment_sum_nodes(edge_emb, edges[..., 0], V.shape[-2], windowed=True)
     node_emb = mlp_apply(p["f_node"], jnp.concatenate([V, edge_sum], axis=-1))
     return node_emb, edge_emb
 
@@ -108,10 +114,11 @@ def gat_init(key, node_size, output_size):
     return {"f_edge": f_edge, "att": att}
 
 
-def gat_apply(p: Params, V, E, edges):
+def gat_apply(p: Params, V, E, edges, rev_window: int = 0):
     """``Base.py:64-86``: exp-weighted scatter attention at the sender index."""
-    senders = gather_nodes(V, edges[..., 0], sorted=True)
-    receivers = gather_nodes(V, edges[..., 1], sorted=False)
+    senders = gather_nodes(V, edges[..., 0], windowed=True)
+    receivers = gather_nodes(V, edges[..., 1],
+                             windowed=(rev_window > 0), window=rev_window or 512)
     h_sender = senders @ p["f_edge"]["w"]
     h_receiver = receivers @ p["f_edge"]["w"]
 
@@ -120,8 +127,8 @@ def gat_apply(p: Params, V, E, edges):
     attention = jnp.exp(attention - jnp.max(attention, axis=1, keepdims=True))
 
     n = V.shape[-2]
-    numerator = segment_sum_nodes(attention * h_sender, edges[..., 0], n, sorted=True)
-    denominator = segment_sum_nodes(attention, edges[..., 0], n, sorted=True)
+    numerator = segment_sum_nodes(attention * h_sender, edges[..., 0], n, windowed=True)
+    denominator = segment_sum_nodes(attention, edges[..., 0], n, windowed=True)
     return numerator / (denominator + 1e-8)
 
 
@@ -131,8 +138,9 @@ def multihead_gat_init(key, node_size, output_size, n_heads):
     return {"heads": [gat_init(k, node_size, output_size // n_heads) for k in keys]}
 
 
-def multihead_gat_apply(p: Params, V, E, edges):
-    return jnp.concatenate([gat_apply(h, V, E, edges) for h in p["heads"]], axis=-1)
+def multihead_gat_apply(p: Params, V, E, edges, rev_window: int = 0):
+    return jnp.concatenate(
+        [gat_apply(h, V, E, edges, rev_window) for h in p["heads"]], axis=-1)
 
 
 # -- running-stat Normalizer -------------------------------------------------

@@ -61,6 +61,7 @@ def gat_apply(
     apply_noise: bool = False,
     noise_std: float = 2e-2,
     rng: Optional[jax.Array] = None,
+    rev_window: int = 0,
 ):
     """``GraphAttention.py:29-66`` as a scan; same I/O contract as mgn_apply."""
     B, T, N, S = state.shape
@@ -81,13 +82,13 @@ def gat_apply(
 
         v_in = jnp.concatenate([prev_state, nt_prev.astype(prev_state.dtype)], axis=-1)
         v_in, n_nodes = normalizer_apply(n_nodes, v_in, update=train)
-        e_in = edge_features(mesh_t, edges_t)
+        e_in = edge_features(mesh_t, edges_t, rev_window)
         e_in, n_edges = normalizer_apply(n_edges, e_in, update=train)
 
         V = mlp_apply(params["fv"], v_in)
         E = mlp_apply(params["fe"], e_in)
         for gp in params["processor"]:
-            V = V + multihead_gat_apply(gp, V, E, edges_t)
+            V = V + multihead_gat_apply(gp, V, E, edges_t, rev_window)
 
         next_output = mlp_apply(params["decoder"], V)
         next_state = prev_state + normalizer_inverse(norm_out, next_output)

@@ -69,8 +69,8 @@ def gat_edge_conv_apply(p: Params, V, E, edges, heads: int, out_dim: int):
     dst_idx = edges[..., 1]
     alpha = jnp.exp(alpha - jax.lax.stop_gradient(alpha.max(axis=1, keepdims=True)))
     # dst = edges[..., 1]: NOT the dataloader-sorted column -> XLA path
-    denom = segment_sum_nodes(alpha, dst_idx, N, sorted=False)  # (B, N, H)
-    num = segment_sum_nodes(alpha[..., None] * src, dst_idx, N, sorted=False)  # (B, N, H, C)
+    denom = segment_sum_nodes(alpha, dst_idx, N, windowed=False)  # (B, N, H)
+    num = segment_sum_nodes(alpha[..., None] * src, dst_idx, N, windowed=False)  # (B, N, H, C)
     out = num / (denom[..., None] + 1e-16)
     return out.reshape(B, N, heads * out_dim) + p["bias"]
 

@@ -38,7 +38,7 @@ from fluid_llm_tpu.models.baselines.mgn import (
     edge_features,
     noise_mask_from_types,
 )
-from fluid_llm_tpu.ops.segment_ops import gather_nodes
+from fluid_llm_tpu.ops.segment_ops import gather_nodes, segment_sum_nodes
 
 Params = dict[str, Any]
 
@@ -56,20 +56,43 @@ def pos_embed(pos: jnp.ndarray) -> jnp.ndarray:
     return emb.reshape(*pos.shape[:-1], pos.shape[-1] * 2 * POS_LENGTH)
 
 
-def positional_encoder(mesh_pos, clusters, cluster_mask):
+def _member_ids(clusters, cluster_mask, n_rows: int):
+    """Flattened member node ids with ghost slots remapped OUT OF RANGE
+    (``>= n_rows``) so the window-local kernels drop them (zero-row gather
+    / scatter-drop, ``ops/segment_ops``)."""
+    B = clusters.shape[0]
+    flat = clusters.reshape(B, -1).astype(jnp.int32)
+    mask = cluster_mask.reshape(B, -1) > 0
+    return jnp.where(mask, flat, jnp.int32(n_rows))
+
+
+def positional_encoder(mesh_pos, clusters, cluster_mask, cluster_window: int = 0):
     """``GraphViT.py:196-216``.
 
     mesh_pos: (B, N, 2); clusters: (B, C, K) int (ghost index >= N);
     cluster_mask: (B, C, K) 1/0.  Returns (node posenc (B, N, 2*POS_DIM),
     cluster posenc (B, C, POS_DIM)).
+
+    ``cluster_window`` (static): >0 promises the member-id chunks are
+    window-local at that width (cluster-major node order from
+    ``data/reorder.py``; collate-verified) — gathers/scatters ride the
+    Pallas MXU kernels and ghost slots are dropped, so the GHOST node row
+    of the scatter output is 0 instead of the reference's
+    last-written-wins garbage (loss-masked either way).
     """
     B, N, _ = mesh_pos.shape
     _, C, K = clusters.shape
     flat = clusters.reshape(B, C * K)
-    pos_by_cluster = gather_nodes(  # cluster ids: unsorted by design
-        jnp.pad(mesh_pos, ((0, 0), (0, 1), (0, 0))), jnp.minimum(flat, N),
-        sorted=False,
-    ).reshape(B, C, K, 2)
+    if cluster_window > 0:
+        ids = _member_ids(clusters, cluster_mask, N)
+        pos_by_cluster = gather_nodes(
+            mesh_pos, ids, windowed=True, window=cluster_window,
+        ).reshape(B, C, K, 2)
+    else:
+        pos_by_cluster = gather_nodes(  # cluster ids: unsorted by design
+            jnp.pad(mesh_pos, ((0, 0), (0, 1), (0, 0))), jnp.minimum(flat, N),
+            windowed=False,
+        ).reshape(B, C, K, 2)
 
     centers = jnp.sum(pos_by_cluster * cluster_mask[..., None], axis=-2)
     centers = centers / (jnp.sum(cluster_mask, axis=-1, keepdims=True) + 1e-8)
@@ -77,10 +100,15 @@ def positional_encoder(mesh_pos, clusters, cluster_mask):
     rel = centers[:, :, None] - pos_by_cluster  # (B, C, K, 2)
     rel_emb = pos_embed(rel).reshape(B, C * K, POS_DIM)
 
-    # scatter member embeddings back to node order (``:211-213``)
-    scat = jax.vmap(lambda base, idx, val: base.at[idx].set(val))(
-        jnp.zeros((B, N + 1, POS_DIM)), jnp.minimum(flat, N), rel_emb
-    )[:, :N]
+    # scatter member embeddings back to node order (``:211-213``); every
+    # real node belongs to exactly one cluster so set == sum on real rows
+    if cluster_window > 0:
+        scat = segment_sum_nodes(rel_emb, ids, N, windowed=True,
+                                 window=cluster_window)
+    else:
+        scat = jax.vmap(lambda base, idx, val: base.at[idx].set(val))(
+            jnp.zeros((B, N + 1, POS_DIM)), jnp.minimum(flat, N), rel_emb
+        )[:, :N]
     node_enc = jnp.concatenate([pos_embed(mesh_pos), scat], axis=-1)
     return node_enc, pos_embed(centers)
 
@@ -206,28 +234,41 @@ def graphvit_init(
     }
 
 
-def _encoder(params, mesh_pos, edges, states, node_type, pos_enc):
+def _encoder(params, mesh_pos, edges, states, node_type, pos_enc,
+             rev_window: int = 0):
     """``GraphViT.py:156-186``."""
     V_in = jnp.concatenate([states, node_type.astype(states.dtype)], axis=-1)
-    E = mlp_apply(params["encoder_edge"], edge_features(mesh_pos, edges))
+    E = mlp_apply(params["encoder_edge"], edge_features(mesh_pos, edges, rev_window))
     V = mlp_apply(params["encoder_node"], V_in)
     for gp in params["encoder_gn"]:
         inpt = jnp.concatenate([V, pos_enc], axis=-1)
-        v, e = gnn_apply(gp, inpt, E, edges)
+        v, e = gnn_apply(gp, inpt, E, edges, rev_window)
         V = V + v
         E = E + e
     return V, E
 
 
-def _pooling(params, V, clusters, pos_enc, cluster_mask):
-    """``GraphViT.py:98-126``: GRU over members, output at last real index."""
+def _pooling(params, V, clusters, pos_enc, cluster_mask, cluster_window: int = 0):
+    """``GraphViT.py:98-126``: GRU over members, output at last real index.
+
+    With ``cluster_window`` > 0, ghost member slots gather ZERO rows
+    instead of the padded ghost-node row; the GRU hidden picked at the
+    last REAL member (``idx``) is identical either way (ghosts trail)."""
     B, N, F = V.shape
     _, C, K = clusters.shape
-    flat = jnp.minimum(clusters.reshape(B, C * K), N)
-    Vp = jnp.pad(V, ((0, 0), (0, 1), (0, 0)))
-    pos_p = jnp.pad(pos_enc, ((0, 0), (0, 1), (0, 0)))
-    v_by_cluster = gather_nodes(Vp, flat, sorted=False).reshape(B, C, K, F)
-    pos_by_cluster = gather_nodes(pos_p, flat, sorted=False).reshape(B, C, K, -1)
+    if cluster_window > 0:
+        ids = _member_ids(clusters, cluster_mask, N)
+        v_by_cluster = gather_nodes(
+            V, ids, windowed=True, window=cluster_window).reshape(B, C, K, F)
+        pos_by_cluster = gather_nodes(
+            pos_enc, ids, windowed=True, window=cluster_window,
+        ).reshape(B, C, K, -1)
+    else:
+        flat = jnp.minimum(clusters.reshape(B, C * K), N)
+        Vp = jnp.pad(V, ((0, 0), (0, 1), (0, 0)))
+        pos_p = jnp.pad(pos_enc, ((0, 0), (0, 1), (0, 0)))
+        v_by_cluster = gather_nodes(Vp, flat, windowed=False).reshape(B, C, K, F)
+        pos_by_cluster = gather_nodes(pos_p, flat, windowed=False).reshape(B, C, K, -1)
     inpt = jnp.concatenate([v_by_cluster, pos_by_cluster], axis=-1)
 
     # hidden size derived from the pooling MLP's output width
@@ -240,18 +281,27 @@ def _pooling(params, V, clusters, pos_enc, cluster_mask):
     return picked.reshape(B, C, w)
 
 
-def _retrieve(params, W, V, clusters, pos_enc, edges, E):
+def _retrieve(params, W, V, clusters, pos_enc, edges, E,
+              rev_window: int = 0, cluster_window: int = 0,
+              cluster_mask=None):
     """``GraphViT.py:129-153``: broadcast tokens to nodes, GNN, tanh head."""
     B, N, _ = V.shape
     _, C, K = clusters.shape
-    flat = jnp.minimum(clusters.reshape(B, C * K), N)
     w_rep = jnp.repeat(W[:, :, None], K, axis=2).reshape(B, C * K, -1)
-    w_nodes = jax.vmap(lambda base, idx, val: base.at[idx].set(val))(
-        jnp.zeros((B, N + 1, w_rep.shape[-1])), flat, w_rep
-    )[:, :N]
+    if cluster_window > 0:
+        # each real node is in exactly one cluster -> sum == set on real
+        # rows; ghost slots are dropped (ghost node row 0, loss-masked)
+        ids = _member_ids(clusters, cluster_mask, N)
+        w_nodes = segment_sum_nodes(w_rep, ids, N, windowed=True,
+                                    window=cluster_window)
+    else:
+        flat = jnp.minimum(clusters.reshape(B, C * K), N)
+        w_nodes = jax.vmap(lambda base, idx, val: base.at[idx].set(val))(
+            jnp.zeros((B, N + 1, w_rep.shape[-1])), flat, w_rep
+        )[:, :N]
 
     nodes = jnp.concatenate([V, w_nodes, pos_enc], axis=-1)
-    nodes, _ = gnn_apply(params["retrieve_gnn"], nodes, E, edges)
+    nodes, _ = gnn_apply(params["retrieve_gnn"], nodes, E, edges, rev_window)
     h = nodes
     for i, lp in enumerate(params["final_mlp"]):
         h = h @ lp["w"] + lp["b"]
@@ -261,11 +311,12 @@ def _retrieve(params, W, V, clusters, pos_enc, edges, E):
 
 
 def graphvit_step(params, mesh_pos, edges, state, node_type, clusters, cluster_mask,
-                  n_heads: int = 4):
+                  n_heads: int = 4, rev_window: int = 0, cluster_window: int = 0):
     """One diff prediction for the current state (``GraphViT.py:38-55``)."""
-    node_enc, cluster_enc = positional_encoder(mesh_pos, clusters, cluster_mask)
-    V, E = _encoder(params, mesh_pos, edges, state, node_type, node_enc)
-    W = _pooling(params, V, clusters, node_enc, cluster_mask)
+    node_enc, cluster_enc = positional_encoder(mesh_pos, clusters, cluster_mask,
+                                               cluster_window)
+    V, E = _encoder(params, mesh_pos, edges, state, node_type, node_enc, rev_window)
+    W = _pooling(params, V, clusters, node_enc, cluster_mask, cluster_window)
 
     # ghost clusters masked out of the keys, diagonal kept (``:43-48``)
     C = W.shape[1]
@@ -280,7 +331,8 @@ def graphvit_step(params, mesh_pos, edges, state, node_type, clusters, cluster_m
         w5 = mlp_apply(blk["mlp"], _ln(w3, blk["ln2"]))
         W = w3 + w5
     W = _ln(W, params["ln"])
-    return _retrieve(params, W, V, clusters, node_enc, edges, E)
+    return _retrieve(params, W, V, clusters, node_enc, edges, E,
+                     rev_window, cluster_window, cluster_mask)
 
 
 def graphvit_apply(
@@ -296,9 +348,14 @@ def graphvit_apply(
     apply_noise: bool = False,
     noise_std: float = 0.0,
     rng: Optional[jax.Array] = None,
+    rev_window: int = 0,
+    cluster_window: int = 0,
 ):
     """Window rollout (``GraphViT.py:27-71``); shapes as in the reference,
-    with (B, T, ...) leading.  Returns (state_hat, output_hat, target)."""
+    with (B, T, ...) leading.  ``rev_window``/``cluster_window`` (static):
+    see ``base.gnn_apply`` / ``positional_encoder`` — Pallas-kernel
+    dispatch for the reverse-edge and cluster gathers/scatters.  Returns
+    (state_hat, output_hat, target)."""
     if apply_noise and rng is not None and noise_std > 0:
         nm = noise_mask_from_types(node_type[:, 0])
         noise = jax.random.normal(rng, state[:, 0].shape) * noise_std
@@ -308,7 +365,8 @@ def graphvit_apply(
 
     def step(prev, xs):
         mesh_t, edges_t, nt_prev, nt_t, state_t, cl_t, cm_t = xs
-        out = graphvit_step(params, mesh_t, edges_t, prev, nt_prev, cl_t, cm_t, n_heads)
+        out = graphvit_step(params, mesh_t, edges_t, prev, nt_prev, cl_t, cm_t,
+                            n_heads, rev_window, cluster_window)
         next_state = prev + out
         target = state_t - prev
         mask = bc_mask_from_types(nt_t)

@@ -42,10 +42,11 @@ from fluid_llm_tpu.ops.segment_ops import gather_nodes
 Params = dict[str, Any]
 
 
-def edge_features(mesh_pos, edges):
+def edge_features(mesh_pos, edges, rev_window: int = 0):
     """[sender-receiver distance, norm] (``MeshGraphNet.py:70-76``)."""
-    senders = gather_nodes(mesh_pos, edges[..., 0], sorted=True)
-    receivers = gather_nodes(mesh_pos, edges[..., 1], sorted=False)
+    senders = gather_nodes(mesh_pos, edges[..., 0], windowed=True)
+    receivers = gather_nodes(mesh_pos, edges[..., 1],
+                             windowed=(rev_window > 0), window=rev_window or 512)
     distance = senders - receivers
     norm = jnp.sqrt(jnp.sum(distance**2, axis=-1, keepdims=True))
     return jnp.concatenate([distance, norm], axis=-1)
@@ -93,11 +94,14 @@ def mgn_apply(
     apply_noise: bool = False,
     noise_std: float = 2e-2,
     rng: Optional[jax.Array] = None,
+    rev_window: int = 0,
 ):
     """Window rollout (``MeshGraphNet.py:31-56``).
 
     mesh_pos: (B, T, N, 2); edges: (B, T, E, 2) int; state: (B, T, N, S);
-    node_type: (B, T, N, 9) one-hot.  Returns
+    node_type: (B, T, N, 9) one-hot.  ``rev_window`` (static): see
+    ``base.gnn_apply`` — engages the Pallas kernels for the
+    ``edges[..., 1]`` gathers/backward-scatters.  Returns
     (state_hat (B, T, N, S), output_hat (B, T-1, N, S), target, new norm).
     """
     B, T, N, S = state.shape
@@ -118,13 +122,13 @@ def mgn_apply(
 
         v_in = jnp.concatenate([prev_state, nt_prev.astype(prev_state.dtype)], axis=-1)
         v_in, n_nodes = normalizer_apply(n_nodes, v_in, update=train)
-        e_in = edge_features(mesh_t, edges_t)
+        e_in = edge_features(mesh_t, edges_t, rev_window)
         e_in, n_edges = normalizer_apply(n_edges, e_in, update=train)
 
         V = mlp_apply(params["fv"], v_in)
         E = mlp_apply(params["fe"], e_in)
         for gp in params["processor"]:
-            v, e = gnn_apply(gp, V, E, edges_t)
+            v, e = gnn_apply(gp, V, E, edges_t, rev_window)
             V = V + v
             E = E + e
 

@@ -1,4 +1,4 @@
-"""Pallas sorted segment-sum / segment-gather: scatter as MXU matmuls.
+"""Pallas window-local segment-sum / segment-gather: scatter as MXU matmuls.
 
 TPU equivalent of torch-scatter's CUDA ``scatter_sum`` fast path
 (``eagle/Models/Base.py:3,44,82``).  XLA lowers ``segment_sum`` /
@@ -8,16 +8,21 @@ row-``gather`` to serialized per-row updates on the TPU: at EAGLE scale
 magnitude off the HBM roofline, and ~85 % of the MeshGraphNet device
 step (BENCHMARKS.md "EAGLE-scale baseline stress").
 
-The kernel exploits the one property a mesh graph gives away for free:
-edge lists are STATIC per trajectory, so the dataloader can emit them
-sorted by the aggregation column at zero runtime cost
-(``data/eagle_mesh.faces_to_edges`` sorts by ``edges[..., 0]``, the
-column every reference model aggregates at — ``Base.py:44``).  With
-sorted segment ids, a chunk of ``CHUNK`` consecutive edges touches a
-node window of width ≤ ``WINDOW`` (mesh degree ~6 ⇒ ~44 rows per 256
-edges), and scatter becomes a dense one-hot contraction on the MXU::
+The kernel's requirement is WINDOW-LOCALITY, not sortedness: each chunk
+of ``CHUNK`` consecutive items must touch segment rows inside one
+``window``-row band.  Sorted mesh edge lists satisfy it trivially
+(``data/eagle_mesh.faces_to_edges`` sorts by ``edges[..., 0]``: mesh
+degree ~6 ⇒ ~44 rows per 256 edges), and — the r5 extension — so do the
+UNSORTED hot ids once the collate applies a static node relabeling:
+``edges[..., 1]`` after an RCM/grid ordering bounds ``|u - v|`` by the
+mesh bandwidth, and GraphViT cluster members after a cluster-major node
+sort are consecutive (``data/reorder.py``).  Scatter then runs as a
+dense one-hot contraction on the MXU::
 
     out[row0:row0+W] += onehot(ids - row0)ᵀ @ values[chunk]   # (W,C)@(C,F)
+
+with ``row0`` the masked MIN of the chunk's in-range ids (for sorted ids
+that equals the first id — the r4 behaviour).
 
 Grid ``(n_stripes, n_chunks)``: the f-stripe (128 lanes) is outer so the
 ``(n_pad, 128)`` f32 output stripe stays RESIDENT in VMEM across all
@@ -26,9 +31,9 @@ written back to HBM exactly once.  The gather twin reads the resident
 node stripe through the same window: ``out[chunk] = onehot @ window``.
 
 Correct by construction, not by hope: the public wrappers compute a
-runtime predicate (ids sorted AND every chunk span fits the window) and
+runtime predicate (every chunk's in-range id span fits the window) and
 ``lax.cond`` between the kernel and the XLA twin — adversarial inputs
-(hub nodes, unsorted ids, cluster indices) silently take the XLA path.
+(hub nodes, genuinely scattered ids) silently take the XLA path.
 Dropping semantics match ``jax.ops.segment_sum``: ids outside
 ``[0, num_segments)`` contribute nothing.
 """
@@ -45,7 +50,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 256  # edges per grid step
-WINDOW = 512  # node-row window per chunk (mesh chunks span ~44 rows)
+WINDOW = 512  # default node-row window per chunk (mesh chunks span ~44 rows)
+WINDOW_CHOICES = (512, 1024, 2048)  # static sizes the collate may pick from
 LANE = 128  # feature stripe width
 _VMEM_ROWS_MAX = 20480  # resident stripe budget: rows * 128 * 4 B ≤ ~10 MB
 
@@ -83,15 +89,19 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _clamped_row0(ids_ref, n_pad: int):
-    """Window start: chunk's first id, floored to the f32 sublane tile (8)
-    and clamped so ``[row0, row0+WINDOW)`` stays inside the padded rows."""
-    row0 = (ids_ref[0, 0, 0] // 8) * 8
-    row0 = jnp.minimum(row0, n_pad - WINDOW)
+def _clamped_row0(ids_ref, n_seg: int, n_pad: int, window: int):
+    """Window start: the masked MIN of the chunk's in-range ids, floored to
+    the f32 sublane tile (8) and clamped so ``[row0, row0+window)`` stays
+    inside the padded rows.  Using the min (not the first id) is what frees
+    the kernel from any sortedness requirement — only window-locality."""
+    ids = ids_ref[0, 0]  # (C,)
+    valid = (ids >= 0) & (ids < n_seg)
+    row0 = (jnp.min(jnp.where(valid, ids, jnp.int32(2**30))) // 8) * 8
+    row0 = jnp.minimum(row0, n_pad - window)
     return jnp.maximum(row0, 0)
 
 
-def _scatter_kernel(ids_ref, vals_ref, o_ref, *, n_seg: int):
+def _scatter_kernel(ids_ref, vals_ref, o_ref, *, n_seg: int, window: int):
     g = pl.program_id(1)
 
     @pl.when(g == 0)
@@ -100,31 +110,33 @@ def _scatter_kernel(ids_ref, vals_ref, o_ref, *, n_seg: int):
 
     n_pad = o_ref.shape[0]
     ids = ids_ref[0]  # (1, C) int32 (the ref block is (1, 1, C))
-    row0 = _clamped_row0(ids_ref, n_pad)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, ids.shape[1]), 0)
+    row0 = _clamped_row0(ids_ref, n_seg, n_pad, window)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (window, ids.shape[1]), 0)
     oh = (iota == (ids - row0)) & (ids >= 0) & (ids < n_seg)
     part = _onehot_dot(oh, vals_ref[...], (((1,), (0,)), ((), ())))
-    o_ref[pl.ds(row0, WINDOW), :] += part
+    o_ref[pl.ds(row0, window), :] += part
 
 
-def _expand_kernel(ids_ref, nodes_ref, o_ref, *, n_seg: int):
+def _expand_kernel(ids_ref, nodes_ref, o_ref, *, n_seg: int, window: int):
     n_pad = nodes_ref.shape[0]
     ids = ids_ref[0]  # (1, C) (the ref block is (1, 1, C))
-    row0 = _clamped_row0(ids_ref, n_pad)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, ids.shape[1]), 0)
+    row0 = _clamped_row0(ids_ref, n_seg, n_pad, window)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (window, ids.shape[1]), 0)
     oh = (iota == (ids - row0)) & (ids >= 0) & (ids < n_seg)
-    win = nodes_ref[pl.ds(row0, WINDOW), :]
+    win = nodes_ref[pl.ds(row0, window), :]
     # contract the window axis: (W,C)x(W,F)->(C,F)
     out = _onehot_dot(oh, win, (((0,), (0,)), ((), ())))
     o_ref[...] = out
 
 
-@functools.partial(jax.jit, static_argnames=("n_seg", "n_pad", "interpret"))
-def _scatter_call(ids2, vals2, n_seg: int, n_pad: int, interpret: bool):
+@functools.partial(
+    jax.jit, static_argnames=("n_seg", "n_pad", "interpret", "window"))
+def _scatter_call(ids2, vals2, n_seg: int, n_pad: int, interpret: bool,
+                  window: int = WINDOW):
     ng = ids2.shape[0]
     mp, fp = vals2.shape
     out = pl.pallas_call(
-        functools.partial(_scatter_kernel, n_seg=n_seg),
+        functools.partial(_scatter_kernel, n_seg=n_seg, window=window),
         grid=(fp // LANE, ng),
         in_specs=[
             # ids ride as (ng, 1, C): a (1, 1, C) block satisfies Mosaic's
@@ -142,12 +154,13 @@ def _scatter_call(ids2, vals2, n_seg: int, n_pad: int, interpret: bool):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("n_seg", "interpret"))
-def _expand_call(ids2, nodes2, n_seg: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("n_seg", "interpret", "window"))
+def _expand_call(ids2, nodes2, n_seg: int, interpret: bool,
+                 window: int = WINDOW):
     ng = ids2.shape[0]
     n_pad, fp = nodes2.shape
     out = pl.pallas_call(
-        functools.partial(_expand_kernel, n_seg=n_seg),
+        functools.partial(_expand_kernel, n_seg=n_seg, window=window),
         grid=(fp // LANE, ng),
         in_specs=[
             pl.BlockSpec((1, 1, CHUNK), lambda f, g: (g, 0, 0)),
@@ -169,11 +182,12 @@ def mode() -> str:
     return os.environ.get("FLUID_SEGSUM", "auto").lower()
 
 
-def use_kernel(n_rows_total: int, m_total: int) -> tuple[bool, bool]:
+def use_kernel(n_rows_total: int, m_total: int,
+               window: int = WINDOW) -> tuple[bool, bool]:
     """(use, interpret) for a flattened (segments=n_rows_total,
     items=m_total) problem on this backend."""
     env = mode()
-    n_pad = _round_up(max(n_rows_total + 8, WINDOW), LANE)
+    n_pad = _round_up(max(n_rows_total + 8, window), LANE)
     if env == "xla" or n_pad > _VMEM_ROWS_MAX or m_total < CHUNK:
         return False, False
     if env == "interpret":
@@ -183,21 +197,40 @@ def use_kernel(n_rows_total: int, m_total: int) -> tuple[bool, bool]:
     return jax.default_backend() == "tpu", False
 
 
-def host_kernel_ok(ids: np.ndarray, n_per_batch: int) -> bool:
+def host_kernel_ok(ids: np.ndarray, n_per_batch: int,
+                   window: int = WINDOW) -> bool:
     """NumPy mirror of the kernel predicate for a HOST batch of ids
-    (..., E): sorted after batch-major flattening with per-row offsets,
-    and every CHUNK span fits the WINDOW.  ``iterate_graph_batches``
+    (..., E): after batch-major flattening with per-row offsets, every
+    CHUNK's span of IN-RANGE ids fits the window (ids outside
+    ``[0, n_per_batch)`` are dropped by both branches and ignored here).
+    Sortedness is NOT required — only window-locality.  The collate
     asserts this per batch — the loud guard behind the static
-    ``sorted=True`` contract at the model call sites."""
+    ``windowed=True`` contract at the model call sites."""
     b = int(np.prod(ids.shape[:-1])) if ids.ndim > 1 else 1
-    flat = (ids.reshape(b, -1).astype(np.int64)
-            + (np.arange(b, dtype=np.int64) * n_per_batch)[:, None]).reshape(-1)
-    if np.any(np.diff(flat) < 0):
-        return False
+    ids2 = ids.reshape(b, -1).astype(np.int64)
+    valid = (ids2 >= 0) & (ids2 < n_per_batch)
+    flat = (ids2 + (np.arange(b, dtype=np.int64) * n_per_batch)[:, None]).reshape(-1)
+    vflat = valid.reshape(-1)
     mp = _round_up(flat.shape[0], CHUNK)
-    flat = np.pad(flat, (0, mp - flat.shape[0]), mode="edge")
+    pad = mp - flat.shape[0]
+    flat = np.pad(flat, (0, pad), mode="edge")
+    vflat = np.pad(vflat, (0, pad), mode="edge")
     chunks = flat.reshape(-1, CHUNK)
-    return bool(np.all(chunks[:, -1] - chunks[:, 0] <= WINDOW - 8))
+    vchunks = vflat.reshape(-1, CHUNK)
+    lo = np.where(vchunks, chunks, np.int64(2**60)).min(axis=1)
+    hi = np.where(vchunks, chunks, np.int64(-(2**60))).max(axis=1)
+    span = np.where(vchunks.any(axis=1), hi - lo, 0)
+    return bool(np.all(span <= window - 8))
+
+
+def min_window(ids: np.ndarray, n_per_batch: int) -> int:
+    """Smallest WINDOW_CHOICES size whose span contract ``ids`` satisfies,
+    or 0 if none does (→ the call site must use the XLA path).  Host-side
+    helper for the collate's static dispatch decision."""
+    for w in WINDOW_CHOICES:
+        if host_kernel_ok(ids, n_per_batch, window=w):
+            return w
+    return 0
 
 
 def _flatten(idx, n_per_batch: int):
@@ -215,16 +248,21 @@ def _flatten(idx, n_per_batch: int):
     return jnp.where(ok, idx2 + off, jnp.int32(-(2**30))).reshape(-1), b
 
 
-def _prep_ids(ids_flat):
-    """Pad flat sorted ids to a CHUNK multiple (edge mode — keeps spans
-    tight) and compute the kernel-eligibility predicate."""
+def _prep_ids(ids_flat, n_seg: int, window: int):
+    """Pad flat ids to a CHUNK multiple (edge mode — keeps spans tight)
+    and compute the kernel-eligibility predicate: every chunk's span of
+    in-range ids fits the window (no sortedness requirement)."""
     m = ids_flat.shape[0]
     mp = _round_up(m, CHUNK)
     ids_p = jnp.pad(ids_flat, (0, mp - m), mode="edge")
     ids2 = ids_p.reshape(mp // CHUNK, 1, CHUNK)
-    sorted_ok = jnp.all(ids_flat[1:] >= ids_flat[:-1])
-    fits = jnp.all(ids2[:, 0, -1] - ids2[:, 0, 0] <= WINDOW - 8)
-    return ids2, sorted_ok & fits, m, mp
+    w = ids2[:, 0]
+    valid = (w >= 0) & (w < n_seg)
+    # int32-safe sentinels: empty chunks get hi-lo = -1 - 2**30 < 0 (pass)
+    lo = jnp.min(jnp.where(valid, w, jnp.int32(2**30)), axis=1)
+    hi = jnp.max(jnp.where(valid, w, jnp.int32(-1)), axis=1)
+    fits = jnp.all(hi - lo <= window - 8)
+    return ids2, fits, m, mp
 
 
 def _pad_feat(x2, mp_rows: int):
@@ -234,23 +272,26 @@ def _pad_feat(x2, mp_rows: int):
 
 
 def segment_sum_flat(values2, ids_flat, num_segments: int,
-                     interpret: bool = False, assume_sorted: bool = False):
+                     interpret: bool = False, assume_windowed: bool = False,
+                     window: int = WINDOW):
     """values2 (M, F) summed into (num_segments, F) by flat ids.
 
-    ``assume_sorted=False``: a runtime predicate (sorted + spans fit)
-    picks kernel vs XLA via ``lax.cond`` — always correct, but the TPU
-    conditional COPIES its big operands (~8 ms/call at EAGLE scale,
-    measured: it ate the entire kernel win).  ``assume_sorted=True``:
-    the kernel is called directly with no cond — for call sites with a
-    static sortedness contract (dataloader-sorted ``edges[..., 0]``;
-    ``iterate_graph_batches`` asserts it on the host per batch)."""
+    ``assume_windowed=False``: a runtime predicate (every chunk's span of
+    in-range ids fits the window) picks kernel vs XLA via ``lax.cond`` —
+    always correct, but the TPU conditional COPIES its big operands
+    (~8 ms/call at EAGLE scale, measured: it ate the entire kernel win).
+    ``assume_windowed=True``: the kernel is called directly with no cond
+    — for call sites with a static locality contract (dataloader-sorted
+    ``edges[..., 0]``, RCM-banded ``edges[..., 1]``, cluster-major node
+    order; the collate asserts it on the host per batch)."""
     m, f = values2.shape
-    ids2, pred, _, mp = _prep_ids(ids_flat)
-    n_pad = _round_up(max(num_segments + 8, WINDOW), LANE)
+    ids2, pred, _, mp = _prep_ids(ids_flat, num_segments, window)
+    n_pad = _round_up(max(num_segments + 8, window), LANE)
     vals_p = _pad_feat(values2, mp)
 
     def kern(v, i):
-        out = _scatter_call(i, v, num_segments, n_pad, interpret)
+        out = _scatter_call(i, v, num_segments, n_pad, interpret,
+                            window=window)
         return out[:num_segments, :f].astype(values2.dtype)
 
     def xla(v, i):
@@ -258,23 +299,23 @@ def segment_sum_flat(values2, ids_flat, num_segments: int,
             v[:m, :f], ids_flat, num_segments=num_segments
         ).astype(values2.dtype)
 
-    if assume_sorted:
+    if assume_windowed:
         return kern(vals_p, ids2)
     return jax.lax.cond(pred, kern, xla, vals_p, ids2)
 
 
 def gather_flat(nodes2, ids_flat, interpret: bool = False,
-                assume_sorted: bool = False):
+                assume_windowed: bool = False, window: int = WINDOW):
     """rows (M, F) = nodes2[ids_flat] with zeros for out-of-range ids;
-    kernel when the sorted/window predicate holds (or is statically
-    promised via ``assume_sorted`` — see ``segment_sum_flat``)."""
+    kernel when the window predicate holds (or is statically promised
+    via ``assume_windowed`` — see ``segment_sum_flat``)."""
     n, f = nodes2.shape
-    ids2, pred, m, _ = _prep_ids(ids_flat)
-    n_pad = _round_up(max(n + 8, WINDOW), LANE)
+    ids2, pred, m, _ = _prep_ids(ids_flat, n, window)
+    n_pad = _round_up(max(n + 8, window), LANE)
     nodes_p = _pad_feat(nodes2, n_pad)
 
     def kern(nd, i):
-        out = _expand_call(i, nd, n, interpret)
+        out = _expand_call(i, nd, n, interpret, window=window)
         return out[:m, :f].astype(nodes2.dtype)
 
     def xla(nd, i):
@@ -284,6 +325,6 @@ def gather_flat(nodes2, ids_flat, interpret: bool = False,
         ok = (ids_flat >= 0) & (ids_flat < n)
         return jnp.where(ok[:, None], rows, 0).astype(nodes2.dtype)
 
-    if assume_sorted:
+    if assume_windowed:
         return kern(nodes_p, ids2)
     return jax.lax.cond(pred, kern, xla, nodes_p, ids2)

@@ -366,10 +366,12 @@ def check_quant_matmul(M: int = 61, K: int = 768, N: int = 2304) -> None:
 
 
 def check_segment_sum(E: int = 4096, N: int = 480, F: int = 128) -> None:
-    """Sorted segment-sum/gather Pallas kernels (``ops/segment_sum_pallas``)
-    vs the XLA scatter/take twins at mesh-like density, called DIRECTLY
-    (not through the lax.cond dispatch) so the Mosaic lowering is the
-    thing being qualified."""
+    """Window-local segment-sum/gather Pallas kernels
+    (``ops/segment_sum_pallas``) vs the XLA scatter/take twins, called
+    DIRECTLY (not through the lax.cond dispatch) so the Mosaic lowering is
+    the thing being qualified.  Two legs: sorted mesh-like ids (the r4
+    contract) and UNSORTED banded ids at window=1024 with out-of-range
+    ghosts (the r5 masked-min/window extension)."""
     import jax
     import jax.numpy as jnp
 
@@ -378,7 +380,7 @@ def check_segment_sum(E: int = 4096, N: int = 480, F: int = 128) -> None:
     rng = np.random.default_rng(5)
     ids_np = np.sort(rng.integers(0, N, size=E)).astype(np.int32)
     vals = jnp.asarray(rng.normal(size=(E, F)).astype(np.float32))
-    ids2, _, _, _ = ssp._prep_ids(jnp.asarray(ids_np))
+    ids2, _, _, _ = ssp._prep_ids(jnp.asarray(ids_np), N, ssp.WINDOW)
     n_pad = ssp._round_up(max(N + 8, ssp.WINDOW), ssp.LANE)
     got = np.asarray(ssp._scatter_call(ids2, vals, N, n_pad, False))[:N]
     ref = np.asarray(jax.ops.segment_sum(vals, jnp.asarray(ids_np),
@@ -390,8 +392,33 @@ def check_segment_sum(E: int = 4096, N: int = 480, F: int = 128) -> None:
     gref = np.asarray(nodes)[ids_np]
     gerr = np.abs(gout - gref).max() / (np.abs(gref).max() + 1e-9)
     assert gerr < 1e-6, f"segment gather kernel mismatch: rel err {gerr:.3e}"
+
+    # unsorted banded leg (RCM-relabeled edges[...,1] / cluster members)
+    Nb = 3000
+    trend = np.sort(rng.integers(0, Nb - 1, size=E))
+    bids = np.clip(trend + rng.integers(-300, 300, size=E), 0, Nb - 1)
+    bids[rng.random(E) < 0.03] = Nb + 5  # droppable ghosts
+    bids = bids.astype(np.int32)
+    w = 1024
+    assert ssp.host_kernel_ok(bids, Nb, window=w)
+    ids2b, _, _, _ = ssp._prep_ids(jnp.asarray(bids), Nb, w)
+    n_padb = ssp._round_up(max(Nb + 8, w), ssp.LANE)
+    gotb = np.asarray(ssp._scatter_call(ids2b, vals, Nb, n_padb, False,
+                                        window=w))[:Nb]
+    refb = np.asarray(jax.ops.segment_sum(vals, jnp.asarray(bids),
+                                          num_segments=Nb))
+    errb = np.abs(gotb - refb).max() / (np.abs(refb).max() + 1e-9)
+    assert errb < 1e-5, f"banded scatter mismatch: rel err {errb:.3e}"
+    nodesb = jnp.asarray(rng.normal(size=(n_padb, F)).astype(np.float32))
+    goutb = np.asarray(ssp._expand_call(ids2b, nodesb, Nb, False,
+                                        window=w))[:E]
+    grefb = np.where((bids < Nb)[:, None],
+                     np.asarray(nodesb)[np.minimum(bids, Nb - 1)], 0)
+    gerrb = np.abs(goutb - grefb).max() / (np.abs(grefb).max() + 1e-9)
+    assert gerrb < 1e-6, f"banded gather mismatch: rel err {gerrb:.3e}"
     print(f"segment_sum kernels OK on {jax.default_backend()} "
-          f"(scatter rel err {err:.1e}, gather {gerr:.1e})")
+          f"(scatter rel err {err:.1e}, gather {gerr:.1e}; banded "
+          f"{errb:.1e}/{gerrb:.1e})")
 
 
 CHECKS = (

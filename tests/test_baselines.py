@@ -392,7 +392,8 @@ def test_static_buckets_one_shape_per_epoch(tmp_path):
     shapes = set()
     for epoch in range(2):
         for batch in iterate_graph_batches(ds, 2, shuffle=True, seed=epoch):
-            shapes.add(tuple((k, v.shape) for k, v in sorted(batch.items())))
+            shapes.add(tuple((k, v.shape) for k, v in sorted(batch.items())
+                             if not k.startswith("_")))
     # batch-size 2 over 5 files -> a trailing batch of 1; node/edge/cluster
     # dims must be constant, so exactly two shape signatures (B=2 and B=1)
     n_dims = {dict(sig)["state"][2] for sig in shapes}
@@ -406,4 +407,94 @@ def test_static_buckets_one_shape_per_epoch(tmp_path):
     ds2 = EagleMGNDataset(str(tmp_path), mode="train", window_length=3,
                           normalize=False, max_steps=130)
     b2 = next(iterate_graph_batches(ds2, 2, shuffle=False))
-    assert dict(tuple(sorted((k, v.shape) for k, v in b2.items())))["state"][2] in n_dims
+    assert dict(tuple(sorted((k, v.shape) for k, v in b2.items()
+                             if not k.startswith("_"))))["state"][2] in n_dims
+
+
+def _reordered_batch(n_cluster=0, n_traj=2, window=3):
+    from fluid_llm_tpu.data.eagle_mesh import static_bucket_sizes
+    from fluid_llm_tpu.data.reorder import reorder_sample
+
+    ds = SyntheticGraphDataset(n_trajectories=n_traj, window_length=window,
+                               n_cluster=n_cluster, mode="valid")
+    n, e, c, k = static_bucket_sizes(ds)
+    samples = [reorder_sample(ds[i]) for i in range(n_traj)]
+    batch = collate_graphs(samples, n, e, c, ghost_type_value=2, k_max=k)
+    flags = (batch.pop("_rev_window"), batch.pop("_cluster_window"))
+    return {kk: jnp.asarray(v) for kk, v in batch.items()}, flags
+
+
+def test_mgn_windowed_reverse_edges_parity(monkeypatch):
+    """rev_window (Pallas kernels for edges[..., 1]) == XLA path on the
+    same reordered batch: outputs AND grads (VERDICT r4 #2)."""
+    monkeypatch.setenv("FLUID_SEGSUM", "interpret")
+    batch, (rev_w, _) = _reordered_batch()
+    assert rev_w > 0
+    params, norm = mgn_init(jax.random.PRNGKey(0), state_size=4, n_processor=2)
+
+    def run(rw):
+        sh, oh, tgt, _ = mgn_apply(
+            params, norm, batch["mesh_pos"], batch["edges"].astype(jnp.int32),
+            batch["state"], batch["node_type"], train=True, rev_window=rw,
+        )
+        return sh, oh, tgt
+
+    sh_k, oh_k, tgt_k = run(rev_w)
+    sh_x, oh_x, tgt_x = run(0)
+    np.testing.assert_allclose(np.asarray(sh_k), np.asarray(sh_x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(oh_k), np.asarray(oh_x), atol=2e-5)
+
+    def loss(p, rw):
+        _, oh, tgt, _ = mgn_apply(
+            p, norm, batch["mesh_pos"], batch["edges"].astype(jnp.int32),
+            batch["state"], batch["node_type"], train=True, rev_window=rw,
+        )
+        return mgn_loss(oh, tgt, batch["mask"])
+
+    gk = jax.grad(lambda p: loss(p, rev_w))(params)
+    gx = jax.grad(lambda p: loss(p, 0))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=5e-5, rtol=5e-4),
+        gk, gx)
+
+
+def test_graphvit_windowed_cluster_parity(monkeypatch):
+    """cluster_window (Pallas kernels for the cluster gathers/scatters)
+    matches the reference-shaped XLA path on REAL nodes; the ghost node
+    row is the documented zero-vs-garbage divergence (loss-masked)."""
+    monkeypatch.setenv("FLUID_SEGSUM", "interpret")
+    batch, (rev_w, cl_w) = _reordered_batch(n_cluster=6)
+    assert rev_w > 0 and cl_w > 0
+    params = graphvit_init(jax.random.PRNGKey(0), state_size=4, w_size=32,
+                           n_attention=2, nb_gn=2, n_heads=4)
+
+    def run(rw, cw):
+        return graphvit_apply(
+            params, batch["mesh_pos"], batch["edges"].astype(jnp.int32),
+            batch["state"], batch["node_type"], batch["cluster"],
+            batch["cluster_mask"], rev_window=rw, cluster_window=cw,
+        )
+
+    sh_k, oh_k, tgt_k = run(rev_w, cl_w)
+    sh_x, oh_x, tgt_x = run(0, 0)
+    m = np.asarray(batch["mask"]) > 0  # real nodes only (ghost row differs)
+    np.testing.assert_allclose(np.asarray(sh_k)[m], np.asarray(sh_x)[m],
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(oh_k)[m[:, 1:]],
+                               np.asarray(oh_x)[m[:, 1:]], atol=2e-5)
+
+    def loss(p, rw, cw):
+        _, oh, tgt = graphvit_apply(
+            p, batch["mesh_pos"], batch["edges"].astype(jnp.int32),
+            batch["state"], batch["node_type"], batch["cluster"],
+            batch["cluster_mask"], rev_window=rw, cluster_window=cw,
+        )
+        return graphvit_loss(oh, tgt, batch["mask"])
+
+    gk = jax.grad(lambda p: loss(p, rev_w, cl_w))(params)
+    gx = jax.grad(lambda p: loss(p, 0, 0))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-4, rtol=1e-3),
+        gk, gx)
