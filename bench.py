@@ -54,6 +54,12 @@ def bench_train():
         flash_attention=True,
     )
     # experiment knobs (not part of the recorded protocol)
+    if os.environ.get("FLUID_BENCH_BACKBONE"):
+        # larger-tier measurements (e.g. facebook/opt-350m — the reference's
+        # "large" comparison, src/models/model.py:35-36)
+        cfg = cfg.replace(llm_backbone=os.environ["FLUID_BENCH_BACKBONE"])
+    if os.environ.get("FLUID_BENCH_BS"):
+        cfg = cfg.replace(batch_size=int(os.environ["FLUID_BENCH_BS"]))
     if os.environ.get("FLUID_BENCH_DECODER"):
         cfg.decoder_params.type = os.environ["FLUID_BENCH_DECODER"]
     if os.environ.get("FLUID_BENCH_MOE"):
@@ -69,7 +75,8 @@ def bench_train():
     if os.environ.get("FLUID_BENCH_ATTN"):
         overrides["attn_impl"] = os.environ["FLUID_BENCH_ATTN"]
     ds = SyntheticCylinderDataset(
-        n_trajectories=8, resolution=238, seq_len=10, mode="valid"
+        n_trajectories=max(8, cfg.batch_size), resolution=238, seq_len=10,
+        mode="valid",
     )
     model = FluidLLM.build(cfg, ds.ds_props(), **overrides)
     batch = next(make_batches(ds, cfg.batch_size, shuffle=False))
@@ -166,7 +173,7 @@ def bench_streaming():
     BS = int(os.environ.get("FLUID_BENCH_BS", 1))  # batched-serving experiments
 
     cfg = Config(
-        llm_backbone="fluid/llama-125m",
+        llm_backbone=os.environ.get("FLUID_BENCH_BACKBONE", "fluid/llama-125m"),
         half_precision=True,
         use_lora=False,
         batch_size=BS,

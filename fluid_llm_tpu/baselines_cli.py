@@ -74,6 +74,20 @@ def _bind_flags(apply_fn, stateful: bool, flags: tuple[int, int]):
                              cluster_window=flags[1])
 
 
+def _expand_time(batch):
+    """Broadcast ``squeeze_static``-collated length-1 time axes back to the
+    window length ON DEVICE (a cheap HBM copy instead of T axon-tunnel
+    transfers — ``data/eagle_mesh.collate_graphs``)."""
+    T = batch["state"].shape[1]
+    out = dict(batch)
+    for k, v in batch.items():
+        if k.startswith("_") or k == "state":
+            continue
+        if v.ndim >= 2 and v.shape[1] == 1 and T > 1:
+            out[k] = jnp.broadcast_to(v, v.shape[:1] + (T,) + v.shape[2:])
+    return out
+
+
 def _prefetch_device(batch_iter, depth: int = 2):
     """Stage host batch assembly + device transfer ``depth`` batches ahead
     of compute on a worker thread (the EAGLE-scale profile shows the wall
@@ -163,10 +177,26 @@ def build_dataset(args, mode, window):
 # -- per-model step functions -----------------------------------------------
 
 
+def _cast_fn(dtype: str):
+    """Param cast for the compute dtype: bf16 compute / f32 masters (the
+    f32 optimizer state and normalizers are untouched; gradients flow back
+    to the f32 params through the cast).  TPU-native addition — the
+    reference trains the baselines in f32 only."""
+    if dtype != "bf16":
+        return lambda t: t
+    return lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t)
+
+
 def make_graph_step(args, apply_fn, loss_fn, stateful_norm: bool):
+    cast = _cast_fn(args.dtype)
+
     @functools.partial(jax.jit, donate_argnums=(0, 2))
     def train_step(params, norm, opt_state, batch, rng, lr):
+        batch = _expand_time(batch)
+
         def loss(p):
+            p = cast(p)
             if stateful_norm:
                 sh, oh, tgt, new_norm = apply_fn(
                     p, norm, batch["mesh_pos"], batch["edges"].astype(jnp.int32),
@@ -233,7 +263,8 @@ def run_graph_model(args):
         t_ep, n_steps = _time.monotonic(), 0
         for dev_batch in _prefetch_device(
             iterate_graph_batches(train_ds, args.batch_size, shuffle=True,
-                                  seed=epoch, ghost_type_value=ghost),
+                                  seed=epoch, ghost_type_value=ghost,
+                                  squeeze_static=True),
             depth=args.prefetch,
         ):
             if args.profile_dir and epoch == 0 and n_steps == 2:
@@ -277,11 +308,14 @@ def run_graph_model(args):
 
 def validate_graph(args, params, norm, ds, apply_fn, loss_fn, stateful, ghost):
     tot, cpt = 0.0, 0
+    params = _cast_fn(args.dtype)(params)
     for b in _prefetch_device(
-        iterate_graph_batches(ds, args.batch_size, shuffle=False, ghost_type_value=ghost),
+        iterate_graph_batches(ds, args.batch_size, shuffle=False,
+                              ghost_type_value=ghost, squeeze_static=True),
         depth=args.prefetch,
     ):
         fn = _bind_flags(apply_fn, stateful, _pop_flags(b))
+        b = _expand_time(b)
         if stateful:
             sh, oh, tgt, _ = fn(
                 params, norm, b["mesh_pos"], b["edges"].astype(jnp.int32),
@@ -310,17 +344,20 @@ def eval_graph(args, params, norm, apply_fn, stateful, ghost):
             collate_graphs(
                 [sample], sample.mesh_pos.shape[1], sample.edges.shape[0],
                 (sample.cluster.shape[1] if sample.cluster is not None else 1), ghost,
+                squeeze_static=True,
             )
         )
         fn = _bind_flags(apply_fn, stateful, _pop_flags(batch))
+        batch = _expand_time(batch)
+        eval_params = _cast_fn(args.dtype)(params)
         if stateful:
             sh, _, _, _ = fn(
-                params, norm, batch["mesh_pos"], batch["edges"].astype(jnp.int32),
+                eval_params, norm, batch["mesh_pos"], batch["edges"].astype(jnp.int32),
                 batch["state"], batch["node_type"], train=False,
             )
         else:
             sh, _, _ = fn(
-                params, batch["mesh_pos"], batch["edges"].astype(jnp.int32),
+                eval_params, batch["mesh_pos"], batch["edges"].astype(jnp.int32),
                 batch["state"], batch["node_type"], batch["cluster"], batch["cluster_mask"],
             )
         n_real = sample.mesh_pos.shape[1]
@@ -450,6 +487,12 @@ def main(argv=None):
     parser.add_argument("--profile_dir", default=None,
                         help="jax.profiler trace of train steps 2-5 of epoch 0 "
                              "+ per-op device-time rollup (graph models)")
+    parser.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
+                        help="compute dtype: bf16 runs the network in "
+                             "bfloat16 against f32 master weights "
+                             "(normalizers/loss/rollout state stay f32); "
+                             "TPU-native speed mode, accuracy measured in "
+                             "BENCHMARKS.md")
     parser.add_argument("--prefetch", type=int, default=2,
                         help="batches staged ahead (host build + device put "
                              "on a worker thread); 0 = synchronous")

@@ -329,8 +329,19 @@ def collate_graphs(
     c_max: int = 1,
     ghost_type_value: int = 1,
     k_max: Optional[int] = None,
+    squeeze_static: bool = False,
 ) -> dict[str, np.ndarray]:
     """Ghost-pad to (n_max+1) nodes / (e_max+1) edges / c_max clusters.
+
+    ``squeeze_static=True`` emits time-invariant fields (edges always;
+    mesh_pos/node_type/cluster/cluster_mask/mask when every sample repeats
+    them across the window — MGN/airfoil/synthetic topologies do) with a
+    length-1 time axis.  The train step broadcasts them back ON DEVICE
+    (``baselines_cli._expand_time``), so the axon-tunnel H2D transfer
+    carries each static tensor once per step instead of T times — the
+    reference amortizes host cost with 6 DataLoader workers
+    (``eagle/train_graphvit.py:128``); on the TPU the wall cost is the
+    tunnel, so sending fewer bytes is the equivalent fix.
 
     Mirrors ``train_mgn.py:32-59`` / ``train_graphvit.py:34-76``: ghost nodes
     get zero state and ``ghost_type_value`` in every one-hot slot (all-ones
@@ -398,6 +409,17 @@ def collate_graphs(
             out["cluster_mask"][b, :, :C, :K] = cm
     _check_sorted_contract(out)
     out["_rev_window"], out["_cluster_window"] = _window_flags(out, has_cluster)
+    if squeeze_static:
+        # tunnel-friendly layout: static-topology tensors ride with a
+        # length-1 time axis + narrower int types; broadcast/upcast happens
+        # on device (baselines_cli._expand_time / model astype)
+        out["edges"] = np.ascontiguousarray(out["edges"][:, :1])
+        out["node_type"] = out["node_type"].astype(np.int8)
+        out["cluster"] = out["cluster"].astype(np.int32)
+        for kf in ("mesh_pos", "node_type", "mask", "cluster", "cluster_mask"):
+            a = out[kf]
+            if a.shape[1] > 1 and (a == a[:, :1]).all():
+                out[kf] = np.ascontiguousarray(a[:, :1])
     return out
 
 
@@ -425,6 +447,7 @@ def _window_flags(batch: dict, has_cluster: bool) -> tuple[int, int]:
 def iterate_graph_batches(
     dataset, batch_size: int, *, shuffle: bool, seed: int = 0,
     ghost_type_value: int = 1, reorder: bool = True,
+    squeeze_static: bool = False,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Batch iterator with TRUE dataset-wide bucket sizes: every batch of
     every epoch has identical shapes, so the train step compiles exactly
@@ -445,7 +468,8 @@ def iterate_graph_batches(
         if reorder:
             samples = [reorder_sample(s) for s in samples]
         # the window-contract guard runs inside collate_graphs
-        yield collate_graphs(samples, n_max, e_max, c_max, ghost_type_value, k_max=k_max)
+        yield collate_graphs(samples, n_max, e_max, c_max, ghost_type_value,
+                             k_max=k_max, squeeze_static=squeeze_static)
 
 
 def _check_sorted_contract(batch: dict) -> None:

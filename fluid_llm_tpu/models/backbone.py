@@ -138,6 +138,15 @@ PRESETS: dict[str, BackboneConfig] = {
         act="silu", norm="rmsnorm", pos="rope", ln_eps=1e-6,
         max_pos=32768, vocab_size=32000, dropout=0.0,
     ),
+    # OPT-350m geometry with rotary positions (24L x d1024; gated-SiLU FFN
+    # sized to OPT's 4096 FFN FLOPs) — the streaming-serving counterpart of
+    # the reference's "large" tier (``src/models/model.py:35-36``), which
+    # learned absolute positions (OPT) structurally cannot serve.
+    "fluid/llama-350m": BackboneConfig(
+        family="llama", n_layers=24, d_model=1024, n_heads=16, d_ff=2816,
+        act="silu", norm="rmsnorm", pos="rope", ln_eps=1e-6,
+        max_pos=32768, vocab_size=32000, dropout=0.0,
+    ),
 }
 
 

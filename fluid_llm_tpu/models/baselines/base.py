@@ -59,15 +59,20 @@ def mlp_init(key, input_size, output_size=128, layer_norm=True, n_hidden=2, hidd
 
 
 def mlp_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    # compute follows the param dtype (bf16 compute / f32 masters under
+    # baselines_cli --dtype bf16; a no-op in the default f32 mode)
+    x = x.astype(p["layers"][0]["w"].dtype)
     n = len(p["layers"])
     for i, lp in enumerate(p["layers"]):
         x = x @ lp["w"] + lp["b"]
         if i < n - 1:
             x = jax.nn.relu(x)
     if p["ln"] is not None:
-        mu = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.var(x, axis=-1, keepdims=True)
-        x = (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["ln"]["scale"] + p["ln"]["bias"]
+        x32 = x.astype(jnp.float32)  # stable LN stats under bf16 compute
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        x = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype) \
+            * p["ln"]["scale"] + p["ln"]["bias"]
     return x
 
 

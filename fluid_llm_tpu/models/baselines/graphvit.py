@@ -130,9 +130,11 @@ def gru_init(key, input_size, hidden_size):
 
 def gru_scan(p: Params, x: jnp.ndarray, hidden_size: int) -> jnp.ndarray:
     """x: (B, L, In) -> outputs (B, L, H) (torch GRU gate order r, z, n)."""
+    x = x.astype(p["w_ih"].dtype)  # compute follows the param dtype
     B = x.shape[0]
 
     def cell(h, xt):
+        h = h.astype(xt.dtype)
         gi = xt @ p["w_ih"] + p["b_ih"]
         gh = h @ p["w_hh"] + p["b_hh"]
         i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
@@ -162,6 +164,7 @@ def mha_init(key, embed_dim):
 
 def mha_apply(p: Params, x: jnp.ndarray, attn_mask: jnp.ndarray, n_heads: int):
     """x: (B, L, E); attn_mask: (B, L, L) bool, True = disallowed."""
+    x = x.astype(p["in_w"].dtype)  # compute follows the param dtype
     B, L, E = x.shape
     hd = E // n_heads
     qkv = x @ p["in_w"] + p["in_b"]
@@ -170,9 +173,10 @@ def mha_apply(p: Params, x: jnp.ndarray, attn_mask: jnp.ndarray, n_heads: int):
     def heads(t):
         return t.reshape(B, L, n_heads, hd)
 
-    logits = jnp.einsum("bqhd,bkhd->bhqk", heads(q), heads(k)) / math.sqrt(hd)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", heads(q), heads(k),
+                        preferred_element_type=jnp.float32) / math.sqrt(hd)
     logits = jnp.where(attn_mask[:, None], -1e30, logits)
-    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, heads(v)).reshape(B, L, E)
     return out @ p["out"]["w"] + p["out"]["b"]
 
@@ -182,9 +186,11 @@ def _ln_init(d):
 
 
 def _ln(x, p):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
+    x32 = x.astype(jnp.float32)  # stable LN stats under bf16 compute
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype) \
+        * p["scale"] + p["bias"]
 
 
 # -- model -------------------------------------------------------------------
@@ -240,6 +246,7 @@ def _encoder(params, mesh_pos, edges, states, node_type, pos_enc,
     V_in = jnp.concatenate([states, node_type.astype(states.dtype)], axis=-1)
     E = mlp_apply(params["encoder_edge"], edge_features(mesh_pos, edges, rev_window))
     V = mlp_apply(params["encoder_node"], V_in)
+    pos_enc = pos_enc.astype(V.dtype)  # keep the gathers in compute dtype
     for gp in params["encoder_gn"]:
         inpt = jnp.concatenate([V, pos_enc], axis=-1)
         v, e = gnn_apply(gp, inpt, E, edges, rev_window)
@@ -256,6 +263,7 @@ def _pooling(params, V, clusters, pos_enc, cluster_mask, cluster_window: int = 0
     last REAL member (``idx``) is identical either way (ghosts trail)."""
     B, N, F = V.shape
     _, C, K = clusters.shape
+    pos_enc = pos_enc.astype(V.dtype)
     if cluster_window > 0:
         ids = _member_ids(clusters, cluster_mask, N)
         v_by_cluster = gather_nodes(
@@ -287,6 +295,8 @@ def _retrieve(params, W, V, clusters, pos_enc, edges, E,
     """``GraphViT.py:129-153``: broadcast tokens to nodes, GNN, tanh head."""
     B, N, _ = V.shape
     _, C, K = clusters.shape
+    W = W.astype(V.dtype)
+    pos_enc = pos_enc.astype(V.dtype)
     w_rep = jnp.repeat(W[:, :, None], K, axis=2).reshape(B, C * K, -1)
     if cluster_window > 0:
         # each real node is in exactly one cluster -> sum == set on real

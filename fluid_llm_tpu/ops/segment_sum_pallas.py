@@ -70,8 +70,18 @@ _PASSES = int(os.environ.get("FLUID_SEGSUM_PASSES", "3"))
 
 
 def _onehot_dot(oh, vals, dimension_numbers):
-    """dot_general(one-hot bool, f32 values) via bf16 value limbs."""
+    """dot_general(one-hot bool, f32 values) via bf16 value limbs.
+
+    bf16 values need NO limb decomposition — one bf16 MXU pass with f32
+    accumulation is exact (the one-hot is exact in bf16, each product is
+    a plain copy of the value) — so the bf16 compute mode pays 1/3 of the
+    f32 path's MXU passes."""
     oh16 = oh.astype(jnp.bfloat16)
+    if vals.dtype == jnp.bfloat16:
+        return jax.lax.dot_general(
+            oh16, vals, dimension_numbers=dimension_numbers,
+            preferred_element_type=jnp.float32,
+        )
     rem = vals.astype(jnp.float32)
     acc = None
     for _ in range(max(_PASSES, 1)):
@@ -89,38 +99,50 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _clamped_row0(ids_ref, n_seg: int, n_pad: int, window: int):
-    """Window start: the masked MIN of the chunk's in-range ids, floored to
-    the f32 sublane tile (8) and clamped so ``[row0, row0+window)`` stays
-    inside the padded rows.  Using the min (not the first id) is what frees
-    the kernel from any sortedness requirement — only window-locality."""
-    ids = ids_ref[0, 0]  # (C,)
-    valid = (ids >= 0) & (ids < n_seg)
-    row0 = (jnp.min(jnp.where(valid, ids, jnp.int32(2**30))) // 8) * 8
-    row0 = jnp.minimum(row0, n_pad - window)
-    return jnp.maximum(row0, 0)
+def _chunk_row0(ids2, n_seg: int, n_pad: int, window: int):
+    """Per-chunk window starts, computed OUTSIDE the kernel as one
+    vectorized XLA reduce: the masked MIN of each chunk's in-range ids,
+    floored to the sublane tile and clamped so
+    ``[row0, row0+window)`` stays inside the padded rows.  Using the min
+    (not the first id) is what frees the kernel from any sortedness
+    requirement — only window-locality.  Fed to the kernel through SMEM:
+    an in-kernel vector-min + scalar extraction measured ~18 µs of
+    pipeline stall PER CHUNK on chip (5.9 vs 0.35 ms/call at EAGLE
+    scale), wiping out the kernel win."""
+    w = ids2[:, 0]  # (ng, C)
+    valid = (w >= 0) & (w < n_seg)
+    # floor to 16: the sublane tile of the WIDEST dtype the kernels load
+    # through a dynamic window (bf16 node tables tile as (16, 128))
+    row0 = (jnp.min(jnp.where(valid, w, jnp.int32(2**30)), axis=1) // 16) * 16
+    row0 = jnp.clip(row0, 0, n_pad - window)
+    # (ng, 1, 1): Mosaic requires the last two block dims to equal the
+    # array dims for SMEM blocks
+    return row0.astype(jnp.int32).reshape(-1, 1, 1)
 
 
-def _scatter_kernel(ids_ref, vals_ref, o_ref, *, n_seg: int, window: int):
+def _scatter_kernel(row0_ref, ids_ref, vals_ref, o_ref, *, n_seg: int,
+                    window: int):
     g = pl.program_id(1)
 
     @pl.when(g == 0)
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    n_pad = o_ref.shape[0]
     ids = ids_ref[0]  # (1, C) int32 (the ref block is (1, 1, C))
-    row0 = _clamped_row0(ids_ref, n_seg, n_pad, window)
+    # _chunk_row0 already floors to 16, but Mosaic can't see through an
+    # opaque SMEM scalar — re-floor in-kernel (numerically a no-op) so the
+    # dynamic-slice start is PROVABLY sublane-aligned for (16, 128) tiles
+    row0 = (row0_ref[0, 0, 0] // 16) * 16
     iota = jax.lax.broadcasted_iota(jnp.int32, (window, ids.shape[1]), 0)
     oh = (iota == (ids - row0)) & (ids >= 0) & (ids < n_seg)
     part = _onehot_dot(oh, vals_ref[...], (((1,), (0,)), ((), ())))
     o_ref[pl.ds(row0, window), :] += part
 
 
-def _expand_kernel(ids_ref, nodes_ref, o_ref, *, n_seg: int, window: int):
-    n_pad = nodes_ref.shape[0]
+def _expand_kernel(row0_ref, ids_ref, nodes_ref, o_ref, *, n_seg: int,
+                   window: int):
     ids = ids_ref[0]  # (1, C) (the ref block is (1, 1, C))
-    row0 = _clamped_row0(ids_ref, n_seg, n_pad, window)
+    row0 = (row0_ref[0, 0, 0] // 16) * 16  # see _scatter_kernel: Mosaic alignment proof
     iota = jax.lax.broadcasted_iota(jnp.int32, (window, ids.shape[1]), 0)
     oh = (iota == (ids - row0)) & (ids >= 0) & (ids < n_seg)
     win = nodes_ref[pl.ds(row0, window), :]
@@ -135,10 +157,13 @@ def _scatter_call(ids2, vals2, n_seg: int, n_pad: int, interpret: bool,
                   window: int = WINDOW):
     ng = ids2.shape[0]
     mp, fp = vals2.shape
+    row0s = _chunk_row0(ids2, n_seg, n_pad, window)
     out = pl.pallas_call(
         functools.partial(_scatter_kernel, n_seg=n_seg, window=window),
         grid=(fp // LANE, ng),
         in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda f, g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
             # ids ride as (ng, 1, C): a (1, 1, C) block satisfies Mosaic's
             # last-two-dims rule by matching the full array extents
             pl.BlockSpec((1, 1, CHUNK), lambda f, g: (g, 0, 0)),
@@ -150,7 +175,7 @@ def _scatter_call(ids2, vals2, n_seg: int, n_pad: int, interpret: bool,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(ids2, vals2)
+    )(row0s, ids2, vals2)
     return out
 
 
@@ -159,10 +184,13 @@ def _expand_call(ids2, nodes2, n_seg: int, interpret: bool,
                  window: int = WINDOW):
     ng = ids2.shape[0]
     n_pad, fp = nodes2.shape
+    row0s = _chunk_row0(ids2, n_seg, n_pad, window)
     out = pl.pallas_call(
         functools.partial(_expand_kernel, n_seg=n_seg, window=window),
         grid=(fp // LANE, ng),
         in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda f, g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, CHUNK), lambda f, g: (g, 0, 0)),
             pl.BlockSpec((n_pad, LANE), lambda f, g: (0, f)),
         ],
@@ -172,7 +200,7 @@ def _expand_call(ids2, nodes2, n_seg: int, interpret: bool,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(ids2, nodes2)
+    )(row0s, ids2, nodes2)
     return out
 
 
@@ -220,7 +248,7 @@ def host_kernel_ok(ids: np.ndarray, n_per_batch: int,
     lo = np.where(vchunks, chunks, np.int64(2**60)).min(axis=1)
     hi = np.where(vchunks, chunks, np.int64(-(2**60))).max(axis=1)
     span = np.where(vchunks.any(axis=1), hi - lo, 0)
-    return bool(np.all(span <= window - 8))
+    return bool(np.all(span <= window - 16))
 
 
 def min_window(ids: np.ndarray, n_per_batch: int) -> int:
@@ -261,7 +289,7 @@ def _prep_ids(ids_flat, n_seg: int, window: int):
     # int32-safe sentinels: empty chunks get hi-lo = -1 - 2**30 < 0 (pass)
     lo = jnp.min(jnp.where(valid, w, jnp.int32(2**30)), axis=1)
     hi = jnp.max(jnp.where(valid, w, jnp.int32(-1)), axis=1)
-    fits = jnp.all(hi - lo <= window - 8)
+    fits = jnp.all(hi - lo <= window - 16)
     return ids2, fits, m, mp
 
 
@@ -290,8 +318,17 @@ def segment_sum_flat(values2, ids_flat, num_segments: int,
     vals_p = _pad_feat(values2, mp)
 
     def kern(v, i):
-        out = _scatter_call(i, v, num_segments, n_pad, interpret,
-                            window=window)
+        # one pallas call per 128-lane stripe: a multi-stripe grid keeps
+        # TWO (n_pad, 128) f32 blocks alive (double buffering across the
+        # f dimension), which blows the 16 MB scoped-VMEM budget at EAGLE
+        # scale (measured: 16.33M for (14208, 256) — GraphViT's 192-wide
+        # encoder features)
+        outs = [
+            _scatter_call(i, jax.lax.slice_in_dim(v, s, s + LANE, axis=1),
+                          num_segments, n_pad, interpret, window=window)
+            for s in range(0, v.shape[1], LANE)
+        ]
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
         return out[:num_segments, :f].astype(values2.dtype)
 
     def xla(v, i):
@@ -315,7 +352,13 @@ def gather_flat(nodes2, ids_flat, interpret: bool = False,
     nodes_p = _pad_feat(nodes2, n_pad)
 
     def kern(nd, i):
-        out = _expand_call(i, nd, n, interpret, window=window)
+        # per-stripe calls: see segment_sum_flat (scoped-VMEM budget)
+        outs = [
+            _expand_call(i, jax.lax.slice_in_dim(nd, s, s + LANE, axis=1),
+                         n, interpret, window=window)
+            for s in range(0, nd.shape[1], LANE)
+        ]
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
         return out[:m, :f].astype(nodes2.dtype)
 
     def xla(nd, i):
