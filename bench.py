@@ -348,7 +348,9 @@ def main():
     SEQ_LEN = 10  # autoreg_seq_len -> max_ctx_len 10
 
     cfg = Config(
-        llm_backbone="facebook/opt-125m",
+        # the recorded protocol is opt-125m; FLUID_BENCH_BACKBONE measures
+        # other tiers (e.g. facebook/opt-350m — the reference's "large")
+        llm_backbone=os.environ.get("FLUID_BENCH_BACKBONE", "facebook/opt-125m"),
         half_precision=True,
         use_lora=False,
         freeze_llm=False,

@@ -177,6 +177,14 @@ def build_dataset(args, mode, window):
 # -- per-model step functions -----------------------------------------------
 
 
+def _order_mode(args) -> str:
+    """Node-relabel mode for the window kernels: cluster-major is a
+    measured win only under bf16 compute (wider edge window + 2-stripe
+    gathers eat the f32 3-limb budget — BENCHMARKS "r5: window-local
+    kernels"); f32 keeps RCM (cluster ops take the XLA path)."""
+    return "cluster" if args.dtype == "bf16" else "rcm"
+
+
 def _cast_fn(dtype: str):
     """Param cast for the compute dtype: bf16 compute / f32 masters (the
     f32 optimizer state and normalizers are untouched; gradients flow back
@@ -264,6 +272,7 @@ def run_graph_model(args):
         for dev_batch in _prefetch_device(
             iterate_graph_batches(train_ds, args.batch_size, shuffle=True,
                                   seed=epoch, ghost_type_value=ghost,
+                                  reorder=_order_mode(args),
                                   squeeze_static=True),
             depth=args.prefetch,
         ):
@@ -311,7 +320,8 @@ def validate_graph(args, params, norm, ds, apply_fn, loss_fn, stateful, ghost):
     params = _cast_fn(args.dtype)(params)
     for b in _prefetch_device(
         iterate_graph_batches(ds, args.batch_size, shuffle=False,
-                              ghost_type_value=ghost, squeeze_static=True),
+                              ghost_type_value=ghost,
+                              reorder=_order_mode(args), squeeze_static=True),
         depth=args.prefetch,
     ):
         fn = _bind_flags(apply_fn, stateful, _pop_flags(b))
@@ -339,7 +349,7 @@ def eval_graph(args, params, norm, apply_fn, stateful, ghost):
     ds = build_dataset(args, "test", args.horizon_eval)
     rows = []
     for i in range(len(ds)):
-        sample = reorder_sample(ds[i])
+        sample = reorder_sample(ds[i], _order_mode(args))
         batch = _to_device(
             collate_graphs(
                 [sample], sample.mesh_pos.shape[1], sample.edges.shape[0],

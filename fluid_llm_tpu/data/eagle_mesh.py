@@ -446,27 +446,30 @@ def _window_flags(batch: dict, has_cluster: bool) -> tuple[int, int]:
 
 def iterate_graph_batches(
     dataset, batch_size: int, *, shuffle: bool, seed: int = 0,
-    ghost_type_value: int = 1, reorder: bool = True,
+    ghost_type_value: int = 1, reorder="cluster",
     squeeze_static: bool = False,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Batch iterator with TRUE dataset-wide bucket sizes: every batch of
     every epoch has identical shapes, so the train step compiles exactly
     once (sizes come from ``static_bucket_sizes``, disk-cached).
 
-    ``reorder=True`` applies the locality-preserving static node
-    relabeling (``data/reorder.reorder_sample``, cached per topology) so
-    the collate's ``_rev_window`` / ``_cluster_window`` kernel-dispatch
-    flags come out nonzero on real meshes."""
+    ``reorder`` applies the locality-preserving static node relabeling
+    (``data/reorder.reorder_sample``, cached per topology) so the
+    collate's ``_rev_window`` / ``_cluster_window`` kernel-dispatch flags
+    come out nonzero on real meshes: ``"cluster"`` (or True, the default)
+    = cluster-major when clusters exist, ``"rcm"`` = RCM always (the
+    better f32 trade for GraphViT), falsy = keep dataset order."""
     n_max, e_max, c_max, k_max = static_bucket_sizes(dataset)
     if reorder:
         from fluid_llm_tpu.data.reorder import reorder_sample
+        mode = reorder if isinstance(reorder, str) else "cluster"
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
     for i in range(0, len(order), batch_size):
         samples = [dataset[int(j)] for j in order[i:i + batch_size]]
         if reorder:
-            samples = [reorder_sample(s) for s in samples]
+            samples = [reorder_sample(s, mode) for s in samples]
         # the window-contract guard runs inside collate_graphs
         yield collate_graphs(samples, n_max, e_max, c_max, ghost_type_value,
                              k_max=k_max, squeeze_static=squeeze_static)

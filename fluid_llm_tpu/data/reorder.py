@@ -114,12 +114,19 @@ def _remap_cluster(cluster: np.ndarray, rank: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-def reorder_sample(sample: GraphSample) -> GraphSample:
-    """Relabel one trajectory window with the locality-preserving node
-    order (cluster-major when a cluster table exists, RCM otherwise).
-    Pure host-side; cached per topology."""
+def reorder_sample(sample: GraphSample, mode: str = "cluster") -> GraphSample:
+    """Relabel one trajectory window with a locality-preserving node order.
+
+    ``mode="cluster"``: cluster-major when a cluster table exists (RCM
+    otherwise) — unlocks the member-table window contract, but costs a
+    wider edge window (1024) and is a measured win only under bf16
+    compute.  ``mode="rcm"``: RCM regardless of clusters — tight edge
+    bands (512), cluster ops take the XLA path — the better f32 trade
+    (BENCHMARKS "r5: window-local kernels").  Pure host-side; cached per
+    topology."""
     n = sample.mesh_pos.shape[1]
-    cl0 = sample.cluster[0] if sample.cluster is not None else None
+    cl0 = (sample.cluster[0]
+           if sample.cluster is not None and mode == "cluster" else None)
     key = _digest(sample.edges, *( [cl0] if cl0 is not None else [] ))
     order = _CACHE.get(key)
     if order is None:

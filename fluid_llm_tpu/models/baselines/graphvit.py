@@ -134,7 +134,6 @@ def gru_scan(p: Params, x: jnp.ndarray, hidden_size: int) -> jnp.ndarray:
     B = x.shape[0]
 
     def cell(h, xt):
-        h = h.astype(xt.dtype)
         gi = xt @ p["w_ih"] + p["b_ih"]
         gh = h @ p["w_hh"] + p["b_hh"]
         i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
@@ -145,7 +144,7 @@ def gru_scan(p: Params, x: jnp.ndarray, hidden_size: int) -> jnp.ndarray:
         h_new = (1 - z) * n + z * h
         return h_new, h_new
 
-    h0 = jnp.zeros((B, hidden_size))
+    h0 = jnp.zeros((B, hidden_size), dtype=x.dtype)  # carry in compute dtype
     _, outs = jax.lax.scan(cell, h0, jnp.moveaxis(x, 1, 0))
     return jnp.moveaxis(outs, 0, 1)
 
@@ -284,7 +283,14 @@ def _pooling(params, V, clusters, pos_enc, cluster_mask, cluster_window: int = 0
     out = gru_scan(params["pool_gru"], inpt.reshape(B * C, K, -1), w)
     idx = (jnp.sum(cluster_mask, axis=-1).astype(jnp.int32) - 1).reshape(B * C)
     idx = jnp.where(idx == -1, K - 1, idx)
-    picked = jnp.take_along_axis(out, idx[:, None, None].repeat(w, -1), axis=1)[:, 0]
+    # dense one-hot select over K (exact: one slot is 1, the rest 0).  The
+    # take_along_axis it replaces lowered to a SERIALIZED row gather — the
+    # single hottest op of the bf16 step (37.9 ms/step of 176, xplane
+    # rollup r5) — and its backward to the matching serialized scatter;
+    # K is tiny (~10) so reading all K rows once is ~free on the VPU.
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (B * C, K), 1)
+          == idx[:, None]).astype(out.dtype)
+    picked = jnp.einsum("gk,gkw->gw", oh, out)
     picked = mlp_apply(params["pool_mlp"], picked[:, None])[:, 0]
     return picked.reshape(B, C, w)
 

@@ -146,9 +146,12 @@ def _expand_kernel(row0_ref, ids_ref, nodes_ref, o_ref, *, n_seg: int,
     iota = jax.lax.broadcasted_iota(jnp.int32, (window, ids.shape[1]), 0)
     oh = (iota == (ids - row0)) & (ids >= 0) & (ids < n_seg)
     win = nodes_ref[pl.ds(row0, window), :]
-    # contract the window axis: (W,C)x(W,F)->(C,F)
+    # contract the window axis: (W,C)x(W,F)->(C,F); the cast to the output
+    # dtype is EXACT for bf16 nodes (each f32 MXU result is a plain copy of
+    # one bf16 value) and halves the HBM write — the gather output is the
+    # dominant byte stream at EAGLE scale (42 MB/call f32)
     out = _onehot_dot(oh, win, (((0,), (0,)), ((), ())))
-    o_ref[...] = out
+    o_ref[...] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -195,7 +198,10 @@ def _expand_call(ids2, nodes2, n_seg: int, interpret: bool,
             pl.BlockSpec((n_pad, LANE), lambda f, g: (0, f)),
         ],
         out_specs=pl.BlockSpec((CHUNK, LANE), lambda f, g: (g, f)),
-        out_shape=jax.ShapeDtypeStruct((ng * CHUNK, fp), jnp.float32),
+        # gathers of bf16 node tables come back bf16 (exact — see kernel)
+        out_shape=jax.ShapeDtypeStruct(
+            (ng * CHUNK, fp),
+            nodes2.dtype if nodes2.dtype == jnp.bfloat16 else jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
@@ -318,17 +324,23 @@ def segment_sum_flat(values2, ids_flat, num_segments: int,
     vals_p = _pad_feat(values2, mp)
 
     def kern(v, i):
-        # one pallas call per 128-lane stripe: a multi-stripe grid keeps
-        # TWO (n_pad, 128) f32 blocks alive (double buffering across the
-        # f dimension), which blows the 16 MB scoped-VMEM budget at EAGLE
-        # scale (measured: 16.33M for (14208, 256) — GraphViT's 192-wide
-        # encoder features)
-        outs = [
-            _scatter_call(i, jax.lax.slice_in_dim(v, s, s + LANE, axis=1),
-                          num_segments, n_pad, interpret, window=window)
-            for s in range(0, v.shape[1], LANE)
-        ]
-        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        # multi-stripe grids keep TWO (n_pad, 128) output blocks alive
+        # (double buffering across the f dimension): 16.33 MB at EAGLE
+        # scale for (14208, 256) f32 — over the ~16 MB scoped-VMEM budget.
+        # Kernel time is LAUNCH-bound (~0.3 ms/exec floor on this
+        # platform), so prefer ONE call when the resident pair fits and
+        # fall back to per-128-lane calls when it doesn't.
+        resident = 2 * n_pad * LANE * 4  # o_ref stays f32 (accumulation)
+        if v.shape[1] == LANE or resident <= 12 * 2**20:
+            out = _scatter_call(i, v, num_segments, n_pad, interpret,
+                                window=window)
+        else:
+            outs = [
+                _scatter_call(i, jax.lax.slice_in_dim(v, s, s + LANE, axis=1),
+                              num_segments, n_pad, interpret, window=window)
+                for s in range(0, v.shape[1], LANE)
+            ]
+            out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
         return out[:num_segments, :f].astype(values2.dtype)
 
     def xla(v, i):
@@ -352,13 +364,19 @@ def gather_flat(nodes2, ids_flat, interpret: bool = False,
     nodes_p = _pad_feat(nodes2, n_pad)
 
     def kern(nd, i):
-        # per-stripe calls: see segment_sum_flat (scoped-VMEM budget)
-        outs = [
-            _expand_call(i, jax.lax.slice_in_dim(nd, s, s + LANE, axis=1),
-                         n, interpret, window=window)
-            for s in range(0, nd.shape[1], LANE)
-        ]
-        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        # single launch when the double-buffered node stripes fit VMEM
+        # (always for bf16 tables at EAGLE scale); per-stripe otherwise —
+        # see segment_sum_flat (launch-bound regime)
+        resident = 2 * n_pad * LANE * nd.dtype.itemsize
+        if nd.shape[1] == LANE or resident <= 12 * 2**20:
+            out = _expand_call(i, nd, n, interpret, window=window)
+        else:
+            outs = [
+                _expand_call(i, jax.lax.slice_in_dim(nd, s, s + LANE, axis=1),
+                             n, interpret, window=window)
+                for s in range(0, nd.shape[1], LANE)
+            ]
+            out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
         return out[:m, :f].astype(nodes2.dtype)
 
     def xla(nd, i):
