@@ -76,6 +76,24 @@ def test_build_batch_matches_dataset_sample(engine):
     np.testing.assert_array_equal(built[4][0], sample[4][:3])
 
 
+def test_serving_bench_modes(engine):
+    """serving_bench drives the real engine in both group modes: the serial
+    burst runs bs=1 calls only; the batched burst coalesces into one bs=N
+    device call — both return finite full-bucket rollouts per stream."""
+    from fluid_llm_tpu.tools import serving_bench as sb
+
+    eng, ds = engine
+    grid, mask = _client_frames(ds)
+    frames = [grid, grid * 1.1]
+    serial = sb.run_mode("serial", eng.cfg, eng.model, eng.params, ds,
+                         3, frames, mask, reps=2, streaming=False)
+    batched = sb.run_mode("batched", eng.cfg, eng.model, eng.params, ds,
+                          3, frames, mask, reps=2, streaming=False)
+    assert serial["aggregate_steps_per_sec"] > 0
+    assert batched["coalesced_groups"] >= 1
+    assert serial["coalesced_groups"] == 0
+
+
 def test_request_coalescing_matches_unbatched(engine):
     """max_batch>1: concurrent requests coalesce into one batched device
     call and return per-request results identical to the bs=1 path."""
