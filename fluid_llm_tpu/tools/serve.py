@@ -109,9 +109,9 @@ class RolloutEngine:
         self._lat_ms = deque(maxlen=1024)
 
         if streaming:
-            from fluid_llm_tpu.rollout.streaming import gen_seq_streaming as _gen
+            from fluid_llm_tpu.rollout.streaming import generate_streaming as _gen
         else:
-            from fluid_llm_tpu.rollout.generate import gen_seq as _gen
+            from fluid_llm_tpu.rollout.generate import generate as _gen
         self._gen = _gen
         for b in self.buckets:
             self._get_rollout(b, 1)
@@ -133,11 +133,19 @@ class RolloutEngine:
         if prog is None:
             if ctx != 1:
                 logger.info("compiling rollout program bucket=%d ctx=%d (lazy)", bucket, ctx)
-            prog = jax.jit(
-                lambda p, batch, _b=bucket, _c=ctx: self._gen(
-                    self.model, p, batch, _b, start_state=_c
-                )
-            )
+            from fluid_llm_tpu.ops.patching import patch_to_img
+
+            def _compact(p, batch, _b=bucket):
+                # compact serving batch: ONLY the ctx context frames, one
+                # bc_mask frame, one position-id frame cross the tunnel —
+                # both rollouts read exactly init_states / bc_mask (clamped
+                # dynamic_index, time-invariant content) / pos frame 0
+                init, bcm, pos = batch
+                st, df = self._gen(self.model, p, init, bcm, pos, _b)
+                props = self.model.ds_props
+                return patch_to_img(st, props), patch_to_img(df, props)
+
+            prog = jax.jit(_compact)
             # insert under the (cheap) stats lock so stats() can snapshot
             # the dict without racing a resize (ADVICE r4) and without
             # waiting on the device lock; jit() above is lazy — the actual
@@ -150,34 +158,47 @@ class RolloutEngine:
 
     def build_batch(self, grid_states: np.ndarray, grid_mask: np.ndarray,
                     bucket: int, start_step: int = 0):
-        """Raw grid context frames -> the dataset sample tuple, padded on the
-        time axis to the bucket's rollout length (the rollout only reads
-        ``states[:, :ctx]``; the tail is geometry for the scan)."""
+        """Raw grid context frames -> the COMPACT serving batch
+        ``(init_states (1, ctx, ...), bc_mask (1, 1, ...), pos (1, 1, ...))``.
+
+        Only the ctx context frames cross the host->device tunnel: both
+        rollouts consume exactly ``init_states``, a time-invariant
+        ``bc_mask`` (indexed with a shape-clamped ``dynamic_index``, so one
+        frame is value-identical to the padded sequence) and position-id
+        frame 0 (``rollout/generate.py:70-76``, ``rollout/streaming.py:109``).
+        The r4 layout patchified + shipped the FULL bucket-length padded
+        window per request (~46 MB / ~11 s host+tunnel per 251-step request,
+        measured via ``tools/serving_bench.py``); this is the fix.  Patch
+        construction runs on the host CPU backend — eager jnp ops in a TPU
+        process would otherwise pay one tunnel round-trip each."""
+        import jax as _jax
+
         from fluid_llm_tpu.data.pipeline import position_ids, window_to_patches
 
         ds = self.dataset
         ctx = grid_states.shape[0]
-        # gen_seq requires pred_steps + start_state - 1 <= seq_len-1
-        seq_m1 = bucket + ctx - 1
-        # window_to_patches consumes a (seq, 3, H, W) window and emits seq-1
-        # input states; pad the time axis with a repeat of the last frame
-        # (values beyond the context are never read by the rollout)
-        full = np.concatenate(
-            [grid_states, np.repeat(grid_states[-1:], seq_m1 + 1 - ctx, axis=0)], axis=0
-        )
-        input_states, next_state, diffs, bc_mask = window_to_patches(
-            full, grid_mask, ds.means, ds.stds,
+        # a (ctx+1)-frame window yields exactly the ctx real input states;
+        # the repeated last frame only feeds the unread next/diff targets
+        small = np.concatenate([grid_states, grid_states[-1:]], axis=0)
+        kw = dict(
             patch=ds.patch_size, pad_x=self.pad_x, pad_y=self.pad_y,
             flip_y=ds.flip_y, trim=ds.trim_patches, masked_norm=ds.masked_norm,
         )
+        try:
+            with _jax.default_device(_jax.devices("cpu")[0]):
+                input_states, _, _, bc_mask = window_to_patches(
+                    small, grid_mask, ds.means, ds.stds, **kw)
+                input_states, bc_mask = np.asarray(input_states), np.asarray(bc_mask)
+        except RuntimeError:  # no CPU backend: small eager ops, still cheap
+            input_states, _, _, bc_mask = window_to_patches(
+                small, grid_mask, ds.means, ds.stds, **kw)
         pos = position_ids(
-            seq_m1, self.nx, self.ny,
+            1, self.nx, self.ny,
             t_base=start_step if ds.absolute_time else 0,
             t_step=ds.seq_interval if ds.absolute_time else 1,
         )
         add_b = lambda a: np.asarray(a)[None]
-        return (add_b(input_states), add_b(next_state), add_b(diffs),
-                add_b(bc_mask), add_b(pos))
+        return (add_b(input_states), add_b(bc_mask[:1]), add_b(pos))
 
     # -- inference --------------------------------------------------------
 

@@ -63,17 +63,19 @@ def test_bucket_dispatch(engine):
 
 
 def test_build_batch_matches_dataset_sample(engine):
-    """The serving-side batch must reproduce the dataset pipeline exactly on
-    the frames it reads (states[:, :1], bc_mask, position_ids)."""
+    """The serving-side compact batch must reproduce the dataset pipeline
+    exactly on the frames the rollout reads (init states, bc_mask frame,
+    position-id frame 0)."""
     eng, ds = engine
     sample = ds.sample(0, step_num=0)
     grid, mask = _client_frames(ds, n=1)
-    built = eng.build_batch(grid, mask.astype(bool), bucket=3, start_step=0)
+    init, bcm, pos = eng.build_batch(grid, mask.astype(bool), bucket=3, start_step=0)
+    assert init.shape[:2] == (1, 1) and bcm.shape[:2] == (1, 1) and pos.shape[:2] == (1, 1)
     np.testing.assert_allclose(
-        np.asarray(built[0][0, 0]), np.asarray(sample[0][0]), rtol=1e-5, atol=1e-6
+        np.asarray(init[0, 0]), np.asarray(sample[0][0]), rtol=1e-5, atol=1e-6
     )
-    np.testing.assert_array_equal(np.asarray(built[3][0, 0]), np.asarray(sample[3][0]))
-    np.testing.assert_array_equal(built[4][0], sample[4][:3])
+    np.testing.assert_array_equal(np.asarray(bcm[0, 0]), np.asarray(sample[3][0]))
+    np.testing.assert_array_equal(pos[0], sample[4][:1])
 
 
 def test_serving_bench_modes(engine):
@@ -132,20 +134,21 @@ def test_multi_frame_context_conditions_rollout(engine):
     """ctx>1: every context frame conditions the prediction
     (start_state=ctx wired through the compiled programs)."""
     import jax.numpy as jnp
-    from fluid_llm_tpu.rollout.generate import gen_seq
+    from fluid_llm_tpu.ops.patching import patch_to_img
+    from fluid_llm_tpu.rollout.generate import generate
 
     eng, ds = engine
     grid, mask = _client_frames(ds, n=2)
     pred = eng.predict(grid, mask, pred_steps=2)
     assert pred.shape == (2, 3, *grid.shape[-2:])
     assert np.isfinite(pred).all()
-    # must equal the underlying rollout with start_state=2 on the same batch
-    batch = eng.build_batch(grid, mask.astype(bool), bucket=3)
-    st, _ = gen_seq(
-        eng.model, eng.params, tuple(jnp.asarray(a) for a in batch), 3,
-        start_state=2,
-    )
-    ref = eng._to_client_grid(np.asarray(st)[0, 2:4])
+    # must equal the underlying rollout conditioned on both context frames
+    init, bcm, pos = (jnp.asarray(a) for a in
+                      eng.build_batch(grid, mask.astype(bool), bucket=3))
+    assert init.shape[1] == 2  # both context frames cross to the device
+    st, _ = generate(eng.model, eng.params, init, bcm, pos, 3)
+    ref = eng._to_client_grid(
+        np.asarray(patch_to_img(st, eng.model.ds_props))[0, 2:4])
     np.testing.assert_allclose(pred, ref, rtol=1e-4, atol=1e-5)
 
 
