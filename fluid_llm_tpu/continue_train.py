@@ -9,6 +9,7 @@ the epoch loop at ``start_ep``.
 from __future__ import annotations
 
 import argparse
+import json
 import logging
 import sys
 
@@ -28,6 +29,9 @@ def main(argv=None):
     parser.add_argument("--checkpoint_dir", default="model_checkpoints")
     parser.add_argument("--load_no", type=int, default=-1)
     parser.add_argument("--step", type=int, default=None)
+    parser.add_argument("--metrics_jsonl", default=None,
+                        help="append per-epoch metrics to this JSONL "
+                             "(same sink main.py --metrics_jsonl uses)")
     args = parser.parse_args(argv)
 
     load_path = ckpt.get_save_folder(args.checkpoint_dir, args.load_no)
@@ -50,9 +54,15 @@ def main(argv=None):
     if mesh is not None:
         logger.info("Restored onto mesh %s", dict(mesh.shape))
 
+    log_fn = None
+    if args.metrics_jsonl:
+        f = open(args.metrics_jsonl, "a")
+        log_fn = lambda m, e: (f.write(json.dumps({"epoch": e, **m}) + "\n"), f.flush())
+
     train_run(
         cfg, trainer, state, train_ds, valid_ds,
         save_path=load_path, start_ep=state.epoch, rng=rng, mesh=mesh,
+        log_fn=log_fn,
     )
 
 
