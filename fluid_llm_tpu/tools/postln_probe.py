@@ -6,10 +6,11 @@ what a patch decoder can learn when the trunk is frozen (the LoRA/peft
 anchor protocol, reference ``src/models/model.py:106-116``).
 
 Finding (BENCHMARKS.md "350m tier"): pre-LN stacks keep the residual
-identity path, so the input stays linearly recoverable (OPT-125m R²≈+0.37,
+identity path, so the input stays linearly recoverable (OPT-125m R²≈+0.55,
 fluid/llama-350m ≈+0.11); OPT-350m's post-LN blocks
-(``do_layer_norm_before=False``, no final LN) re-normalise after every
-residual add and destroy it (R²≈−1.5).  A frozen random post-LN backbone
+(``do_layer_norm_before=False``) re-normalise after every residual add and
+destroy it (R²≈−0.06; flipping ONLY ``pre_ln`` at the same geometry gives
++0.16, so LN placement alone is the cause).  A frozen random post-LN backbone
 therefore caps the whole model at the zero-diff persistence baseline —
 which is exactly where 480 epochs of ``configs/r5_350m.yaml`` landed.
 
